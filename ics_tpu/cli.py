@@ -1,0 +1,126 @@
+"""Command-line runner mirroring the reference's executable example cases
+(ref deconvolve.py:370-423 — its ``__main__`` block is the de-facto
+integration suite).
+
+    python -m ics_tpu.cli deblur img/blured.jpg out/ --blur-width 7 \
+        --mask 584 795 --tolerance 0.1 --iterations 200
+    python -m ics_tpu.cli usm img/original.jpg out/ --radius 5 --amount 1.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_deblur(args) -> int:
+    from ics_tpu import deblur_module
+    from ics_tpu.utils.io import load_image
+
+    pic = load_image(args.input)
+    name = os.path.splitext(os.path.basename(args.input))[0] + args.suffix
+    deblur_module(
+        pic,
+        name,
+        args.dest,
+        args.blur_width,
+        confidence=args.confidence,
+        tolerance=args.tolerance,
+        quality=args.quality,
+        bits=args.bits,
+        mask=args.mask,
+        display=False,
+        blur=args.blur,
+        preview=args.preview,
+        mask_size=args.mask_size,
+        iterations=args.iterations,
+    )
+    return 0
+
+
+def _cmd_usm(args) -> int:
+    from ics_tpu.utils.filters import USM
+    from ics_tpu.utils.io import load_image, save
+
+    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    out = np.stack(
+        [
+            np.asarray(USM(pic[..., c], args.radius, args.strength, args.amount,
+                           method=args.method))
+            for c in range(pic.shape[-1])
+        ],
+        axis=-1,
+    )
+    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
+    name = os.path.splitext(os.path.basename(args.input))[0] + "-usm"
+    os.makedirs(args.dest, exist_ok=True)
+    save(out, name, args.dest)
+    return 0
+
+
+def _cmd_bilateral(args) -> int:
+    from ics_tpu.utils.filters import bilateral_filter
+    from ics_tpu.utils.io import load_image, save
+
+    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    out = np.stack(
+        [
+            np.asarray(bilateral_filter(pic[..., c], args.radius, args.std_i, args.std_s))
+            for c in range(pic.shape[-1])
+        ],
+        axis=-1,
+    )
+    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
+    name = os.path.splitext(os.path.basename(args.input))[0] + "-bilateral"
+    os.makedirs(args.dest, exist_ok=True)
+    save(out, name, args.dest)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ics_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("deblur", help="blind/non-blind RL-TV deconvolution")
+    p.add_argument("input")
+    p.add_argument("dest")
+    p.add_argument("--blur-width", type=int, required=True)
+    p.add_argument("--confidence", type=float, default=10)
+    p.add_argument("--tolerance", type=float, default=1)
+    p.add_argument("--quality", default="normal",
+                   choices=["low", "normal", "high", "veryhigh"])
+    p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--mask", type=int, nargs=2, default=None)
+    p.add_argument("--mask-size", type=int, default=255)
+    p.add_argument("--blur", default="static", choices=["static", "motion"])
+    p.add_argument("--preview", action="store_true")
+    p.add_argument("--iterations", type=int, default=200)
+    p.add_argument("--suffix", default="-deblurred")
+    p.set_defaults(fn=_cmd_deblur)
+
+    p = sub.add_parser("usm", help="unsharp mask")
+    p.add_argument("input")
+    p.add_argument("dest")
+    p.add_argument("--radius", type=int, default=5)
+    p.add_argument("--strength", type=float, default=8.0)
+    p.add_argument("--amount", type=float, default=1.0)
+    p.add_argument("--method", default="bessel", choices=["bessel", "gauss"])
+    p.set_defaults(fn=_cmd_usm)
+
+    p = sub.add_parser("bilateral", help="bilateral denoise")
+    p.add_argument("input")
+    p.add_argument("dest")
+    p.add_argument("--radius", type=int, default=5)
+    p.add_argument("--std-i", type=float, default=0.1)
+    p.add_argument("--std-s", type=float, default=5.0)
+    p.set_defaults(fn=_cmd_bilateral)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

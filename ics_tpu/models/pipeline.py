@@ -1,0 +1,337 @@
+"""End-to-end blind-deconvolution pipeline.
+
+Behavioral parity target: reference deconvolve.py:24-368 — ``pad_image``,
+``build_pyramid`` and the ``deblur_module`` orchestrator: normalize by bit
+depth, remove gamma, pad to odd dimensions, build the √2 coarse-to-fine
+pyramid, run a blind pass (PSF estimation on a mask window) then a non-blind
+pass (full frame), then clip / re-gamma / convert to 16-bit / save TIFF.
+
+The host drives the pyramid (shapes change per level); each level's solve is
+one jitted on-chip XLA program (``ics_tpu.models.rl_mm``).  XLA's compilation
+cache plays the role of the reference's "FFTW wisdom" (ref README.md:135-136):
+level shapes repeat across runs, so programs compile once.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+
+from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+from ics_tpu.ops.psf import normalize_kernel_np
+from ics_tpu.ops.windows import uniform_kernel
+from ics_tpu.utils.resize import resize as resize_scipy
+from ics_tpu.utils.resize import resize_jax
+from ics_tpu.utils.timing import timeit
+
+__all__ = ["pad_image", "build_pyramid", "deblur_module"]
+
+
+def jnp_float32(a):
+    import jax.numpy as jnp
+
+    return jnp.asarray(a, jnp.float32)
+
+
+def pad_image(image: np.ndarray, pad, mode: str = "edge") -> np.ndarray:
+    """Pad a 3-channel image with a free boundary condition (ref deconvolve.py:24-37)."""
+    channels = [np.pad(image[..., c], pad, mode=mode) for c in range(3)]
+    return np.ascontiguousarray(np.dstack(channels), np.float32)
+
+
+def build_pyramid(psf_size: int, lambd: float = 10.0):
+    """Coarse-to-fine schedule: image scales shrink by √2 per level, kernel
+    sizes ceil(k/√2) forced odd and >= 3 (ref deconvolve.py:40-60)."""
+    images = [1.0]
+    kernels = [psf_size]
+    while kernels[-1] > 3:
+        kernels.append(int(np.ceil(kernels[-1] / np.sqrt(2))))
+        images.append(images[-1] / np.sqrt(2))
+        if kernels[-1] % 2 == 0:
+            kernels[-1] -= 1
+        if kernels[-1] < 3:
+            kernels[-1] = 3
+    return images, kernels
+
+
+@timeit
+def deblur_module(
+    pic,
+    filename: str,
+    dest_path: str | None,
+    blur_width: int,
+    confidence: float = 10,
+    tolerance: float = 1,
+    quality: str = "normal",
+    bits: int = 8,
+    mask=None,
+    display: bool = False,
+    blur: str = "static",
+    preview: bool = False,
+    p: float = 1,
+    order: int = 2,
+    norm: int = 1,
+    priority: float = 0,
+    mask_size: int = 255,
+    iterations: int = 200,
+    refocus: bool = False,
+    config: RLConfig | None = None,
+    verbose: bool = True,
+    resize_backend: str = "jax",
+) -> np.ndarray:
+    """Blind deblurring API (parity: ref deconvolve.py:66-368).
+
+    Same kwargs and defaults as the reference (``display`` defaults off here
+    — it pops matplotlib windows).  Additionally returns the final 16-bit
+    image array; saving only happens when ``dest_path`` is not None.
+
+    ``resize_backend``: 'jax' (on-device Keys cubic, the fast path) or
+    'scipy' (host B-spline matching the reference's skimage resize).
+    """
+    if resize_backend == "jax":
+        resize = lambda a, s: np.asarray(resize_jax(jnp_float32(a), s))
+    else:
+        resize = resize_scipy
+    pic = np.ascontiguousarray(pic, dtype=np.float32)
+    pic = pad_image(pic, (1, 1))  # extra-pad for safety (ref :94)
+
+    samples = 2**bits - 1
+    pic = pic / samples
+    pic = pic ** (1 / 2.2)  # undo gamma (ref :103)
+
+    step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
+
+    if blur_width < 3:
+        raise ValueError("The blur width should be at least 3 pixels.")
+    elif blur_width % 2 == 0:
+        raise ValueError(
+            "The blur width should be odd. You can use %i." % (blur_width + 1)
+        )
+
+    MK = blur_width
+    M, N = pic.shape[0], pic.shape[1]
+
+    if mask is None:
+        mask = [M // 2, N // 2]
+    top = mask[0] - mask_size // 2
+    bottom = mask[0] + mask_size // 2
+    left = mask[1] - mask_size // 2
+    right = mask[1] + mask_size // 2
+    if verbose:
+        print("Mask size :", (bottom - top + 1), "×", (right - left + 1))
+    if not (top > 0 and bottom < M and left > 0 and right < N):
+        raise ValueError(
+            "The mask is outside the picture boundaries. Move its center "
+            "inside or reduce the blur size."
+        )
+
+    correlation = blur == "motion"  # ref :154-157
+    tolerance = tolerance / 100.0
+
+    # Odd-dimension padding (ref :163-175)
+    odd_vert = odd_hor = False
+    if pic.shape[0] % 2 == 0:
+        pic = pad_image(pic, ((1, 0), (0, 0)))
+        odd_vert = True
+    if pic.shape[1] % 2 == 0:
+        pic = pad_image(pic, ((0, 0), (1, 0)))
+        odd_hor = True
+
+    psf = uniform_kernel(blur_width).astype(np.float32)
+    psf = np.dstack((psf, psf, psf))
+
+    images, kernels = build_pyramid(blur_width, confidence)
+
+    deblured_image = pic.copy()
+    solver_cfg = config or RLConfig(
+        p=p, norm=norm, order=order, priority=priority, refocus=refocus
+    )
+
+    try:
+        for case in ["blind", "non-blind"]:
+            if verbose:
+                print("\n===== %s DECONVOLUTION =====" % case)
+            deblured_image = pic.copy()
+            lambd = confidence * 1000  # ref :200
+
+            for i, k in zip(reversed(images), reversed(kernels)):
+                if verbose:
+                    print("======== Pyramid step %1.3f ========" % i)
+
+                # Rescale the mask box; force odd/square-ish.  The branch
+                # structure (including the inert `>` comparison of a value
+                # with itself and the `-= -1`) replicates ref :209-230.
+                temp_top = int(i * top)
+                temp_bottom = int(i * bottom)
+                temp_left = int(i * left)
+                temp_right = int(i * right)
+                if (temp_bottom - temp_top) % 2 == 0:
+                    if (temp_bottom - temp_top) < (temp_right - temp_left):
+                        temp_bottom += 1
+                    elif (temp_bottom - temp_top) > (temp_right - temp_left):
+                        temp_top += 1
+                    else:
+                        temp_top -= 1
+                if (temp_right - temp_left) % 2 == 0:
+                    if (temp_bottom - temp_top) < (temp_right - temp_left):
+                        temp_left += 1
+                    elif (temp_bottom - temp_top) > (temp_bottom - temp_top):
+                        temp_right += 1
+                    else:
+                        temp_right += 1
+
+                temp_width = int(np.floor(i * N))
+                temp_height = int(np.floor(i * M))
+                if temp_width % 2 == 0:
+                    temp_width += 1
+                if temp_height % 2 == 0:
+                    temp_height += 1
+                shape = (temp_height, temp_width, 3)
+
+                temp_blurry_image = resize(pic, shape).astype(np.float32)
+                deblured_image = resize(deblured_image, shape).astype(np.float32)
+
+                if case == "blind":
+                    psf_copy = resize(psf, (k, k)).astype(np.float32)
+                    psf_copy = normalize_kernel_np(psf_copy)
+                else:
+                    psf_copy = psf.copy()
+                    k = kernels[0]
+
+                # Extra safety padding — the gradient is not evaluated on
+                # borders (ref :256-257)
+                temp_blurry_image = pad_image(temp_blurry_image, (1, 1))
+                deblured_image = pad_image(deblured_image, (1, 1))
+
+                pad = int(np.floor(k / 2))
+
+                if verbose:
+                    print("Image size", temp_blurry_image.shape)
+                    print("u size", deblured_image.shape)
+                    print("Mask size", (temp_bottom - temp_top), (temp_right - temp_left))
+                    print("PSF size", psf_copy.shape)
+
+                # No tolerance at lower pyramid scales (ref :268-273)
+                tolerance_temp = tolerance if i == 1.0 else 0
+
+                if case == "blind":
+                    res = richardson_lucy_MM(
+                        temp_blurry_image[
+                            temp_top - 1 : temp_bottom + 1,
+                            temp_left - 1 : temp_right + 1,
+                        ],
+                        deblured_image[
+                            temp_top - pad - 1 : temp_bottom + pad + 1,
+                            temp_left - pad - 1 : temp_right + pad + 1,
+                        ],
+                        psf_copy,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        0,
+                        iterations=iterations,
+                        step_factor=step,
+                        lambd=lambd,
+                        blind=True,
+                        correlation=correlation,
+                        config=solver_cfg,
+                        verbose=verbose,
+                    )
+                    deblured_image[
+                        temp_top - 1 : temp_bottom + 1,
+                        temp_left - 1 : temp_right + 1,
+                    ] = np.asarray(res.u)
+                    psf = np.asarray(res.psf).copy()
+                elif preview:
+                    res = richardson_lucy_MM(
+                        temp_blurry_image[
+                            temp_top - 1 : temp_bottom + 1,
+                            temp_left - 1 : temp_right + 1,
+                        ],
+                        deblured_image[
+                            temp_top - pad - 1 : temp_bottom + pad + 1,
+                            temp_left - pad - 1 : temp_right + pad + 1,
+                        ],
+                        psf_copy,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        tolerance_temp,
+                        iterations=iterations,
+                        step_factor=step,
+                        lambd=lambd,
+                        blind=False,
+                        config=solver_cfg,
+                        verbose=verbose,
+                    )
+                    deblured_image[
+                        temp_top - 1 : temp_bottom + 1,
+                        temp_left - 1 : temp_right + 1,
+                    ] = np.asarray(res.u)
+                else:
+                    deblured_image = pad_image(deblured_image, (pad, pad))
+                    res = richardson_lucy_MM(
+                        temp_blurry_image,
+                        deblured_image,
+                        psf_copy,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        pad + 1,
+                        temp_bottom - temp_top - pad - 1,
+                        tolerance_temp,
+                        iterations=iterations,
+                        step_factor=step,
+                        lambd=lambd,
+                        blind=False,
+                        config=solver_cfg,
+                        verbose=verbose,
+                    )
+                    deblured_image[pad:-pad, pad:-pad, ...] = np.asarray(res.u)
+                    deblured_image = deblured_image[pad:-pad, pad:-pad, ...]
+
+                # Strip the safety padding (ref :322-323)
+                temp_blurry_image = temp_blurry_image[1:-1, 1:-1, ...]
+                deblured_image = deblured_image[1:-1, 1:-1, ...]
+
+            if display and case == "blind":  # control preview (ref :331-336)
+                import matplotlib.pyplot as plt
+
+                psf_check = (psf - np.amin(psf)) / (np.amax(psf) - np.amin(psf))
+                plt.imshow(psf_check, interpolation="lanczos", aspect="equal",
+                           vmin=0, vmax=1)
+                plt.show()
+                plt.imshow(
+                    (deblured_image[top:bottom, left:right, ...] * 255).astype(np.uint8),
+                    interpolation="lanczos", aspect="equal", vmin=0, vmax=255,
+                )
+                plt.show()
+
+    except KeyboardInterrupt:
+        # Salvage the current iterate on hard interrupt (ref :338-342)
+        pass
+
+    deblured_image = np.clip(deblured_image, 0.0, 1.0)
+    deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
+    deblured_image = deblured_image * (2**16 - 1)
+
+    if preview:
+        filename = filename + "-preview"
+        deblured_image = deblured_image[top:bottom, left:right, ...]
+    else:
+        if odd_hor:
+            deblured_image = deblured_image[:, 1:, ...]
+        if odd_vert:
+            deblured_image = deblured_image[1:, :, ...]
+        deblured_image = deblured_image[1:-1, 1:-1, ...]
+
+    if dest_path is not None:
+        from ics_tpu.utils.io import save
+
+        os.makedirs(dest_path, exist_ok=True)
+        save(deblured_image, filename, dest_path)
+
+    return deblured_image

@@ -1,0 +1,270 @@
+"""TV-PD: deconvolution by the Chambolle-Pock primal-dual algorithm.
+
+Third solver family of the reference's README (TV-PD, "work in progress" —
+ref README.md:42-44; absent from the checked-in tree, SURVEY.md §2.4),
+rebuilt from the cited primal-dual literature (ref lib/deconvolution.pyx:366
+cites the ROF/TV-L1 primal-dual note).
+
+Solves  min_u ½‖k∗u − f‖² + λ·‖∇u‖₁  with the gradient operator dualized:
+
+  y   ← Π_{‖·‖∞≤λ} ( y + σ ∇ū )                     (dual ascent + projection)
+  u   ← (|K̂|² + 1/τ)⁻¹ F⁻¹[ conj(K̂)·F(f) + F(u − τ ∇ᵀy)/τ ]   (data prox, FFT)
+  ū  ← 2u − u_prev                                   (extrapolation)
+
+The data-term prox inverts the convolution exactly in the Fourier domain
+(circular boundary; the caller edge-pads to suppress wrap-around ringing —
+same free-boundary trick as the pipeline's ``pad_image``, ref
+deconvolve.py:24-37).  Blind mode alternates a PSF gradient step with
+simplex projection, as in TV-PAM.  Everything is one jitted XLA program:
+FFTs, the dual update, and the whiteness stop all live in the
+``lax.while_loop`` body on-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ics_tpu.models.rl_mm import RLResult
+from ics_tpu.ops.conv import convolve_rgb, fft_autocorrelate_same
+from ics_tpu.ops.psf import normalize_kernel, rotate_180
+from ics_tpu.ops.reductions import whiteness_weights
+
+__all__ = ["richardson_lucy_PD", "PDConfig"]
+
+_INNER_ITER = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class PDConfig:
+    lambda_tv: float = 1e-3  # TV weight
+    sigma: float = 1.0 / math.sqrt(8.0)  # dual step (L = sqrt(8) for grad)
+    tau: float = 1.0 / math.sqrt(8.0)  # primal step
+    theta: float = 1.0  # extrapolation
+
+
+def _grad(u):
+    """Forward differences with periodic wrap: (dy, dx), each like u."""
+    dy = jnp.roll(u, -1, axis=0) - u
+    dx = jnp.roll(u, -1, axis=1) - u
+    return dy, dx
+
+
+def _div(py, px):
+    """Adjoint: -grad^T. div at (i,j) = py[i]-py[i-1] + px[j]-px[j-1]."""
+    return (py - jnp.roll(py, 1, axis=0)) + (px - jnp.roll(px, 1, axis=1))
+
+
+def _psf_otf(psf, m, n):
+    """rfft2 of the PSF zero-padded to (m, n) with its center at (0, 0)."""
+    mk = psf.shape[0]
+    p = jnp.zeros((m, n, psf.shape[-1]), psf.dtype)
+    p = lax.dynamic_update_slice(p, psf, (0, 0, 0))
+    p = jnp.roll(p, shift=(-(mk // 2), -(mk // 2)), axis=(0, 1))
+    return jnp.fft.rfft2(p, axes=(0, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top",
+        "bottom",
+        "left",
+        "right",
+        "iterations",
+        "blind",
+        "correlation",
+        "use_stopping",
+    ),
+)
+def _solve_pd(
+    image,
+    u0,
+    psf,
+    weights,
+    *,
+    top,
+    bottom,
+    left,
+    right,
+    tau_stop,
+    step_factor,
+    lambda_tv,
+    sigma,
+    tau,
+    theta,
+    iterations,
+    blind,
+    correlation,
+    use_stopping=True,
+):
+    m, n, _ = image.shape
+    mk = psf.shape[0]
+    f32 = jnp.float32
+    f_hat = jnp.fft.rfft2(image, axes=(0, 1))
+
+    def data_prox(v, otf):
+        """argmin_w  1/2||k*w - f||^2 + ||w - v||^2 / (2 tau), via FFT."""
+        v_hat = jnp.fft.rfft2(v, axes=(0, 1))
+        num = jnp.conj(otf) * f_hat + v_hat / tau
+        den = jnp.abs(otf) ** 2 + 1.0 / tau
+        return jnp.fft.irfft2(num / den, s=(m, n), axes=(0, 1)).astype(f32)
+
+    def inner_step(carry, _):
+        u, u_bar, py, px, psf, otf, error = carry
+
+        # dual ascent on the gradient + projection onto the lambda ball
+        gy, gx = _grad(u_bar)
+        py = py + sigma * gy
+        px = px + sigma * gx
+        mag = jnp.maximum(1.0, jnp.sqrt(py**2 + px**2) / lambda_tv)
+        py = py / mag
+        px = px / mag
+
+        # primal descent + exact data prox in Fourier domain
+        u_prev = u
+        v = u + tau * _div(py, px)
+        u = data_prox(v, otf)
+        u_bar = u + theta * (u - u_prev)
+
+        # circular residual for the whiteness metric / PSF update
+        u_hat = jnp.fft.rfft2(u, axes=(0, 1))
+        synth = jnp.fft.irfft2(otf * u_hat, s=(m, n), axes=(0, 1)).astype(f32)
+        error = synth - image
+
+        if blind:
+            # dE/dk = u* (k*u - f): correlate u with the residual (valid on
+            # the PSF support), via the spatial path on the small kernel.
+            u_rot = rotate_180(jnp.pad(u, ((mk // 2, mk // 2), (mk // 2, mk // 2), (0, 0))))
+            gradk = convolve_rgb(u_rot, error, mode="valid")
+            dtpsf = (
+                step_factor
+                / mk
+                * (jnp.max(psf) + 1.0 / (m * n * 3))
+                / (jnp.max(jnp.abs(gradk)) + 1e-15)
+            )
+            psf = psf - dtpsf * gradk
+            if correlation:
+                psf = jnp.broadcast_to(
+                    jnp.mean(psf, axis=2, keepdims=True), psf.shape
+                )
+            psf = normalize_kernel(psf)
+            otf = _psf_otf(psf, m, n)
+
+        return (u, u_bar, py, px, psf, otf, error), None
+
+    def outer_body(state):
+        u, u_bar, py, px, psf, otf, error, m_r, m_r_prev, it, stop = state
+        (u, u_bar, py, px, psf, otf, error), _ = lax.scan(
+            inner_step, (u, u_bar, py, px, psf, otf, error), None, length=_INNER_ITER
+        )
+        if use_stopping:
+            patch = lax.slice(error, (top, left, 0), (bottom, right, 3))
+            test = (patch - jnp.mean(patch)) / jnp.std(patch)
+            test = test / jnp.max(jnp.abs(test))
+            ac = fft_autocorrelate_same(test)
+            m_r_new = jnp.mean(ac * ac * weights[..., jnp.newaxis])
+            m_r_prev_new = jnp.where(it > 0, m_r, m_r_prev)
+            if blind:
+                hit = m_r_new > m_r_prev_new
+            else:
+                hit = (m_r_new - m_r_prev_new) / (m_r_new + m_r_prev_new) > tau_stop
+            stop = jnp.logical_and(it > 1, hit)
+        else:
+            m_r_new, m_r_prev_new = m_r, m_r_prev
+            stop = jnp.array(False)
+        return (u, u_bar, py, px, psf, otf, error, m_r_new, m_r_prev_new, it + 1, stop)
+
+    def outer_cond(state):
+        *_, it, stop = state
+        return jnp.logical_and(it < iterations, jnp.logical_not(stop))
+
+    otf0 = _psf_otf(psf, m, n)
+    zeros = jnp.zeros_like(u0)
+    state = (
+        u0,
+        u0,
+        zeros,
+        zeros,
+        psf,
+        otf0,
+        jnp.zeros((m, n, 3), f32),
+        jnp.array(0.0, f32),
+        jnp.array(0.0, f32),
+        jnp.array(0, jnp.int32),
+        jnp.array(False),
+    )
+    u, _, _, _, psf, _, error, m_r, _, it, stop = lax.while_loop(
+        outer_cond, outer_body, state
+    )
+
+    err_win = lax.slice(error, (top, left, 0), (bottom, right, 3))
+    hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
+    u_win = lax.slice(u, (top, left, 0), (bottom, right, 3))
+    varu = jnp.std(u_win) ** 2
+    return u, psf, it, stop, m_r, hu, varu
+
+
+def richardson_lucy_PD(
+    image,
+    u,
+    psf,
+    top: int,
+    bottom: int,
+    left: int,
+    right: int,
+    tau: float,
+    iterations: int = 200,
+    step_factor: float = 1e-3,
+    lambd: float = 10000.0,
+    blind: bool = True,
+    correlation: bool = False,
+    config: PDConfig | None = None,
+) -> RLResult:
+    """TV-PD deconvolution.  ``u`` may be image-sized or padded like the MM
+    solver's (the pad is cropped away — PD works at image size with a
+    circular model)."""
+    del lambd
+    cfg = config or PDConfig()
+    image = jnp.asarray(image, jnp.float32)
+    u = jnp.asarray(u, jnp.float32)
+    psf = jnp.asarray(psf, jnp.float32)
+    m, n, _ = image.shape
+    if u.shape[0] != m:
+        pad = (u.shape[0] - m) // 2
+        u = u[pad : pad + m, pad : pad + n]
+    weights = jnp.asarray(whiteness_weights(bottom - top, right - left))
+    u_out, psf_out, it, stop, m_r, hu, varu = _solve_pd(
+        image,
+        u,
+        psf,
+        weights,
+        top=int(top),
+        bottom=int(bottom),
+        left=int(left),
+        right=int(right),
+        tau_stop=float(tau),
+        step_factor=float(step_factor),
+        lambda_tv=float(cfg.lambda_tv),
+        sigma=float(cfg.sigma),
+        tau=float(cfg.tau),
+        theta=float(cfg.theta),
+        iterations=int(iterations),
+        blind=bool(blind),
+        correlation=bool(correlation),
+    )
+    return RLResult(
+        u=u_out,
+        psf=psf_out,
+        image=image,
+        iterations=int(it),
+        converged=bool(stop),
+        M_r=float(m_r),
+        Hu=float(hu),
+        varu=float(varu),
+    )

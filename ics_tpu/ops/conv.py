@@ -1,0 +1,196 @@
+"""2-D convolution with exact scipy.signal.convolve ``valid|same|full`` semantics.
+
+The reference routes every hot convolution through ``scipy.signal.convolve``
+(FFT under the hood — ref lib/deconvolution.pyx:13,478,491,558,571) and keeps
+a ``fft_slice`` helper for cropping FFT output (ref lib/deconvolution.pyx:102-126).
+Here the same semantics are provided by two XLA-native backends:
+
+* ``direct`` — ``lax.conv_general_dilated`` (correlation) with the kernel
+  flipped and per-mode asymmetric padding.  Grouped over RGB channels so one
+  conv op handles per-channel kernels.  Best for small PSFs.
+* ``fft``    — rfft2/irfft2 at full linear-convolution size (optionally padded
+  to the next 2/3/5-smooth length for TPU FFT speed), then cropped with the
+  same centering rule scipy uses (offset = floor((full - out)/2)).  Best for
+  large kernels (e.g. the whiteness-metric autocorrelation where the kernel
+  is the size of the image patch).
+
+``mode='auto'`` picks per call.  Everything is shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["convolve2d", "convolve_rgb", "fft_autocorrelate_same"]
+
+# Kernel area above which the FFT backend wins on TPU (measured; direct
+# grouped conv is VPU-bound at small tap counts, FFT amortizes at large).
+_FFT_THRESHOLD_TAPS = 31 * 31
+
+
+def _out_shape(m: int, mk: int, mode: str) -> int:
+    if mode == "valid":
+        return m - mk + 1
+    if mode == "same":
+        return m
+    if mode == "full":
+        return m + mk - 1
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _pads(mk: int, mode: str) -> tuple[int, int]:
+    """Per-axis (lo, hi) padding so that correlation-with-flipped-kernel at
+    this padding equals the scipy convolution slice for ``mode``.
+
+    Derivation: with kernel flipped, out[i] = full[i + (mk-1) - lo].
+    full  → offset 0            → lo = hi = mk-1
+    same  → offset (mk-1)//2    → lo = ceil((mk-1)/2), hi = (mk-1)//2
+    valid → offset mk-1         → lo = hi = 0
+    """
+    if mode == "valid":
+        return (0, 0)
+    if mode == "full":
+        return (mk - 1, mk - 1)
+    if mode == "same":
+        off = (mk - 1) // 2
+        return (mk - 1 - off, off)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def _next_fast_len(n: int) -> int:
+    """Smallest 2/3/5-smooth integer >= n (TPU FFT is fastest at these)."""
+    if n <= 2:
+        return n
+    best = 1 << (n - 1).bit_length()  # next power of two is an upper bound
+    p5 = 1
+    while p5 < best:
+        p53 = p5
+        while p53 < best:
+            # round p53 up by powers of two
+            rem = -(-n // p53)  # ceil(n / p53)
+            p2 = 1 << max(0, (rem - 1).bit_length())
+            cand = p53 * p2
+            if n <= cand < best:
+                best = cand
+            p53 *= 3
+        p5 *= 5
+    return best
+
+
+def _conv_direct(a: jax.Array, k: jax.Array, mode: str, precision) -> jax.Array:
+    """Batched grouped 2-D convolution. a: (C,H,W); k: (C,MK,NK)."""
+    c, _, _ = a.shape
+    _, mk, nk = k.shape
+    lhs = a[jnp.newaxis]  # (1, C, H, W)
+    rhs = jnp.flip(k, axis=(1, 2))[:, jnp.newaxis]  # (C, 1, MK, NK)
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding=(_pads(mk, mode), _pads(nk, mode)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        precision=precision,
+    )
+    return out[0]
+
+
+def _conv_fft(a: jax.Array, k: jax.Array, mode: str, fast_len: bool) -> jax.Array:
+    """Batched FFT convolution. a: (C,H,W); k: (C,MK,NK)."""
+    _, m, n = a.shape
+    _, mk, nk = k.shape
+    mf, nf = m + mk - 1, n + nk - 1
+    sm = _next_fast_len(mf) if fast_len else mf
+    sn = _next_fast_len(nf) if fast_len else nf
+    fa = jnp.fft.rfft2(a, s=(sm, sn), axes=(-2, -1))
+    fk = jnp.fft.rfft2(k, s=(sm, sn), axes=(-2, -1))
+    full = jnp.fft.irfft2(fa * fk, s=(sm, sn), axes=(-2, -1))[..., :mf, :nf]
+    ym = _out_shape(m, mk, mode)
+    xn = _out_shape(n, nk, mode)
+    oy = (mf - ym) // 2
+    ox = (nf - xn) // 2
+    return lax.slice(full, (0, oy, ox), (full.shape[0], oy + ym, ox + xn)).astype(
+        a.dtype
+    )
+
+
+def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
+    _, mk, nk = k3.shape
+    if method == "auto":
+        method = "fft" if mk * nk > _FFT_THRESHOLD_TAPS else "direct"
+    if method == "direct":
+        return _conv_direct(a3, k3, mode, precision)
+    if method == "fft":
+        return _conv_fft(a3, k3, mode, fast_len=True)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def convolve2d(
+    a: jax.Array,
+    k: jax.Array,
+    mode: str = "same",
+    method: str = "auto",
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """scipy.signal.convolve-compatible 2-D convolution of (H, W) arrays.
+
+    In ``valid`` mode ``a`` must be at least as large as ``k`` on both axes
+    (the only pattern the solver uses — ref lib/deconvolution.pyx:478,571).
+    """
+    out = _dispatch(a[jnp.newaxis], k[jnp.newaxis], mode, method, precision)
+    return out[0]
+
+
+def convolve_rgb(
+    a: jax.Array,
+    k: jax.Array,
+    mode: str = "same",
+    method: str = "auto",
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Per-channel 2-D convolution of an (H, W, C) image.
+
+    ``k`` is (MK, NK, C) — each channel convolves with its own kernel, the
+    pattern of every solver conv (ref lib/deconvolution.pyx:477-478) — or
+    (MK, NK), broadcast across channels.
+    """
+    if k.ndim == 2:
+        k = jnp.broadcast_to(k[..., jnp.newaxis], (*k.shape, a.shape[-1]))
+    a3 = jnp.moveaxis(a, -1, 0)  # (C, H, W)
+    k3 = jnp.moveaxis(k, -1, 0)
+    out = _dispatch(a3, k3, mode, method, precision)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def fft_autocorrelate_same(patch: jax.Array) -> jax.Array:
+    """``convolve(t, rot90(t, 2), mode='same')`` per channel, via one FFT.
+
+    This is the residual-whiteness autocovariance of the stopping criterion
+    (ref lib/deconvolution.pyx:631-634).  Convolving with the 180°-rotated
+    patch equals correlating the patch with itself, so the spectrum is
+    |F(t)|² up to the linear-convolution shift — one rfft2 + irfft2 per call
+    instead of scipy's two FFTs per channel.
+
+    patch: (H, W, C) → (H, W, C)
+
+    The FFT runs over ``axes=(0, 1)`` of the (H, W, C) array directly — a
+    transposed (C, H, W) batch triggers an XLA:CPU fft-thunk layout
+    RET_CHECK under SPMD sharding, and the channel count is tiny anyway.
+    """
+    m, n, c = patch.shape
+    mf, nf = 2 * m - 1, 2 * n - 1
+    sm, sn = _next_fast_len(mf), _next_fast_len(nf)
+    ft = jnp.fft.rfft2(patch, s=(sm, sn), axes=(0, 1))
+    # conv(t, rot180(t))[j] = sum_m t[m] t[m - j + (P-1)]: the correlation
+    # theorem gives F = ft * conj(ft) modulated by the rot180 shift, which in
+    # index space is a circular shift by (m-1, n-1) of the |F|² inverse.
+    full = jnp.fft.irfft2(ft * jnp.conj(ft), s=(sm, sn), axes=(0, 1))
+    full = jnp.roll(full, shift=(m - 1, n - 1), axis=(0, 1))[:mf, :nf]
+    oy, ox = (mf - m) // 2, (nf - n) // 2
+    out = lax.slice(full, (oy, ox, 0), (oy + m, ox + n, c))
+    return out.astype(patch.dtype)

@@ -1,0 +1,100 @@
+"""ε-regularized Total-Variation magnitude + divergence over the 8-neighbour
+stencil.
+
+Parity target: reference lib/deconvolution.pyx:137-239 (``TV``): 2nd-order
+(central) or 1st-order (forward+backward) differences, L1 or L2 norm,
+diagonal terms scaled by 1/sqrt(2), a per-(order,norm) ``adjust``
+normalization, and **interior-only** evaluation (the output border rows and
+columns stay zero — ref lib/deconvolution.pyx:239 "borders are ignored").
+
+Implemented as a vectorized shifted-slice stencil: XLA fuses the whole thing
+into a single elementwise pass over VMEM tiles, which is the TPU-native
+answer to the reference's OpenMP ``prange`` over rows.  A hand-written Pallas
+tile kernel exists in ``ics_tpu.ops.pallas_tv`` for the cases XLA's fuser
+leaves on the table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tv_op"]
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _norm_l2(x, y, epsilon):
+    # ref lib/deconvolution.pyx:129-130
+    return jnp.sqrt(x * x + y * y + epsilon * epsilon)
+
+
+def _norm_l1(x, y, epsilon):
+    # ref lib/deconvolution.pyx:133-134
+    return jnp.abs(x) + jnp.abs(y) + epsilon
+
+
+def _shift(u, di: int, dj: int):
+    """u[i+di, j+dj] evaluated on the interior (1:-1, 1:-1) window.
+
+    u is (H, W, C); returns (H-2, W-2, C).
+    """
+    h, w = u.shape[0], u.shape[1]
+    return u[1 + di : h - 1 + di, 1 + dj : w - 1 + dj]
+
+
+def tv_op(u: jax.Array, epsilon: float, order: int = 2, norm: int = 1):
+    """Return ``(tv, div)`` with zero borders, both shaped like ``u``.
+
+    ``tv`` is the ε-regularized TV magnitude, ``div`` its divergence, each
+    divided by the reference's ``adjust`` coefficient
+    (ref lib/deconvolution.pyx:149-152).
+    """
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    if norm not in (1, 2):
+        raise ValueError("norm must be 1 (L1) or 2 (L2)")
+
+    adjust = 4.0 * (1.0 + 1.0 / _SQRT2) if norm == 1 else 2.0 * (1.0 + _SQRT2)
+    norm_fn = _norm_l1 if norm == 1 else _norm_l2
+
+    c = _shift(u, 0, 0)
+    if order == 2:
+        # central 2nd differences (ref lib/deconvolution.pyx:162-172)
+        udx = -2.0 * c + _shift(u, -1, 0) + _shift(u, 1, 0)
+        udy = -2.0 * c + _shift(u, 0, -1) + _shift(u, 0, 1)
+        udxdy = (-2.0 * c + _shift(u, -1, -1) + _shift(u, 1, 1)) / _SQRT2
+        udydx = (-2.0 * c + _shift(u, -1, 1) + _shift(u, 1, -1)) / _SQRT2
+        div = (-udx - udy - udxdy - udydx) / adjust
+        tv = (norm_fn(udx, udy, epsilon) + norm_fn(udxdy, udydx, epsilon)) / adjust
+    else:
+        # forward + backward 1st differences (ref lib/deconvolution.pyx:197-213)
+        udx_back = c - _shift(u, -1, 0)
+        udy_back = c - _shift(u, 0, -1)
+        udx_forw = -c + _shift(u, 1, 0)
+        udy_forw = -c + _shift(u, 0, 1)
+        udxdy_back = (c - _shift(u, -1, -1)) / _SQRT2
+        udydx_back = (c - _shift(u, -1, 1)) / _SQRT2
+        udydx_forw = (-c + _shift(u, 1, -1)) / _SQRT2
+        udxdy_forw = (-c + _shift(u, 1, 1)) / _SQRT2
+        div = (
+            udx_back
+            + udy_back
+            - udx_forw
+            - udy_forw
+            + udxdy_back
+            + udydx_back
+            - udxdy_forw
+            - udydx_forw
+        ) / adjust
+        tv = (
+            norm_fn(udx_back, udy_back, epsilon)
+            + norm_fn(udx_forw, udy_forw, epsilon)
+            + norm_fn(udxdy_back, udydx_back, epsilon)
+            + norm_fn(udxdy_forw, udydx_forw, epsilon)
+        ) / adjust
+
+    pad = ((1, 1), (1, 1)) + ((0, 0),) * (u.ndim - 2)
+    return jnp.pad(tv, pad), jnp.pad(div, pad)

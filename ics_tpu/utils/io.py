@@ -1,0 +1,281 @@
+"""Image I/O: 16-bit TIFF save (the reference's only output path) and
+JPEG/TIFF input.
+
+Parity targets: reference lib/utils.py:303-312 (``save`` → 16-bit RGB TIFF)
+and the vendored ``lib/tifffile.py`` read/write stack (C12 in SURVEY.md §2).
+This environment has no ``tifffile`` package, so a self-contained TIFF
+implementation lives here: baseline little-endian TIFF with strip storage,
+uncompressed write, and uncompressed / PackBits / LZW read.  The LZW and
+PackBits decoders dispatch to the native C++ codec library
+(``ics_tpu.runtime``, the counterpart of the reference's hand-written
+lib/tifffile.c:432-658) when it has been built, with pure-Python fallbacks.
+
+I/O is host-side by design — TPU sees only device arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+from os.path import join
+
+import numpy as np
+
+__all__ = ["save", "imsave", "imread", "load_image"]
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_SAMPLE_FORMAT = 339
+_PREDICTOR = 317
+
+
+def save(pic: np.ndarray, name: str, dest_path: str) -> None:
+    """Save as 16-bit RGB TIFF (parity: ref lib/utils.py:303-312)."""
+    imsave(join(dest_path, name + ".tif"), np.asarray(pic).astype(np.uint16))
+
+
+def imsave(path: str, arr: np.ndarray) -> None:
+    """Write a baseline little-endian TIFF (uncompressed, chunky).
+
+    Supports (H, W) and (H, W, C) uint8/uint16 arrays.
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
+        raise ValueError(f"imsave supports uint8/uint16, got {arr.dtype}")
+    if arr.ndim == 2:
+        h, w, spp = arr.shape[0], arr.shape[1], 1
+        photometric = 1  # BlackIsZero
+    elif arr.ndim == 3 and arr.shape[2] in (1, 3, 4):
+        h, w, spp = arr.shape
+        photometric = 2 if spp >= 3 else 1
+    else:
+        raise ValueError(f"unsupported shape {arr.shape}")
+    bps = arr.dtype.itemsize * 8
+    data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
+
+    entries = [
+        (_IMAGE_WIDTH, 4, 1, w),
+        (_IMAGE_LENGTH, 4, 1, h),
+        (_BITS_PER_SAMPLE, 3, spp, None),  # value resolved below
+        (_COMPRESSION, 3, 1, 1),
+        (_PHOTOMETRIC, 3, 1, photometric),
+        (_STRIP_OFFSETS, 4, 1, None),
+        (_SAMPLES_PER_PIXEL, 3, 1, spp),
+        (_ROWS_PER_STRIP, 4, 1, h),
+        (_STRIP_BYTE_COUNTS, 4, 1, len(data)),
+        (_PLANAR_CONFIG, 3, 1, 1),
+        (_SAMPLE_FORMAT, 3, spp, None),
+    ]
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + len(entries) * 12 + 4
+    # extra arrays (bits-per-sample / sample-format lists) go after the IFD
+    extra_off = 8 + ifd_size
+    extra = b""
+    resolved = []
+    for tag, typ, count, value in entries:
+        if tag == _BITS_PER_SAMPLE:
+            if spp * 2 <= 4:
+                value = bps
+            else:
+                value = extra_off + len(extra)
+                extra += struct.pack(f"<{spp}H", *([bps] * spp))
+        elif tag == _SAMPLE_FORMAT:
+            if spp * 2 <= 4:
+                value = 1
+            else:
+                value = extra_off + len(extra)
+                extra += struct.pack(f"<{spp}H", *([1] * spp))
+        resolved.append((tag, typ, count, value))
+    data_off = extra_off + len(extra)
+    resolved = [
+        (tag, typ, count, data_off if tag == _STRIP_OFFSETS else value)
+        for tag, typ, count, value in resolved
+    ]
+
+    ifd = struct.pack("<H", len(resolved))
+    for tag, typ, count, value in resolved:
+        if typ == 3 and count == 1:
+            payload = struct.pack("<HH", value, 0)
+        else:
+            payload = struct.pack("<I", value)
+        ifd += struct.pack("<HHI", tag, typ, count) + payload
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    with open(path, "wb") as f:
+        f.write(header + ifd + extra + data)
+
+
+def _decode_packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits decompression (native path: runtime C++ codec)."""
+    from ics_tpu.runtime import codecs
+
+    if codecs.available():
+        return codecs.decode_packbits(data, expected)
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _decode_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first, early code-size change).
+
+    Native path: runtime C++ codec (counterpart of ref lib/tifffile.c:658).
+    """
+    from ics_tpu.runtime import codecs
+
+    if codecs.available():
+        return codecs.decode_lzw(data, expected)
+
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitpos = 0
+    nbits = 9
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits and len(out) < expected:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF "early change": bump code width one entry early.  The decoder
+        # table lags the encoder's by one entry, hence the +2.
+        if len(table) + 2 >= (1 << nbits) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _undo_predictor(rows: np.ndarray) -> np.ndarray:
+    np.cumsum(rows, axis=1, dtype=rows.dtype, out=rows)
+    return rows
+
+
+def imread(path: str) -> np.ndarray:
+    """Read a strip-based TIFF (uncompressed / PackBits / LZW, 8/16-bit)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    byte_order = raw[:2]
+    if byte_order == b"II":
+        en = "<"
+    elif byte_order == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack(en + "HI", raw[2:8])
+    if magic != 42:
+        raise ValueError("not a classic TIFF file")
+
+    (count,) = struct.unpack(en + "H", raw[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+    for idx in range(count):
+        off = ifd_off + 2 + idx * 12
+        tag, typ, n = struct.unpack(en + "HHI", raw[off : off + 8])
+        size = type_size.get(typ, 1) * n
+        if size <= 4:
+            payload = raw[off + 8 : off + 8 + size]
+        else:
+            (ptr,) = struct.unpack(en + "I", raw[off + 8 : off + 12])
+            payload = raw[ptr : ptr + size]
+        tags[tag] = (typ, n, payload)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, n, payload = tags[tag]
+        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        return list(struct.unpack(en + fmt * n, payload))
+
+    width = values(_IMAGE_WIDTH)[0]
+    height = values(_IMAGE_LENGTH)[0]
+    spp = values(_SAMPLES_PER_PIXEL, [1])[0]
+    bps = values(_BITS_PER_SAMPLE, [1])[0]
+    compression = values(_COMPRESSION, [1])[0]
+    predictor = values(_PREDICTOR, [1])[0]
+    planar = values(_PLANAR_CONFIG, [1])[0]
+    rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+    offsets = values(_STRIP_OFFSETS)
+    counts = values(_STRIP_BYTE_COUNTS)
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if bps not in (8, 16):
+        raise NotImplementedError(f"{bps}-bit TIFF not supported")
+
+    dtype = np.dtype(en + ("u1" if bps == 8 else "u2"))
+    row_bytes = width * spp * (bps // 8)
+    out = np.empty((height, width * spp), dtype=dtype)
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        strip = raw[off : off + cnt]
+        nrows = min(rows_per_strip, height - row)
+        expected = nrows * row_bytes
+        if compression == 1:
+            decoded = strip[:expected]
+        elif compression == 32773:
+            decoded = _decode_packbits(strip, expected)
+        elif compression == 5:
+            decoded = _decode_lzw(strip, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression}")
+        rows = np.frombuffer(decoded, dtype=dtype).reshape(nrows, width * spp)
+        if predictor == 2:
+            rows = _undo_predictor(
+                rows.reshape(nrows, width, spp).astype(dtype).copy()
+            ).reshape(nrows, width * spp)
+        out[row : row + nrows] = rows
+        row += nrows
+
+    arr = out.reshape(height, width, spp) if spp > 1 else out.reshape(height, width)
+    return arr.astype(dtype.newbyteorder("="))
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load JPEG/PNG via PIL or TIFF via our reader, as a numpy array."""
+    lower = path.lower()
+    if lower.endswith((".tif", ".tiff")):
+        return imread(path)
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img)

@@ -1,0 +1,109 @@
+"""Color ops vs reference formulas (ref lib/utils.py:45-131, 319-351;
+notebooks/HSV color balance.ipynb)."""
+
+import colorsys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_tpu.utils import color
+
+RNG = np.random.default_rng(9)
+
+
+def test_lagrange_interpolation_through_points():
+    pts = np.array([[0.0, 1.0], [50.0, 30.0], [100.0, 100.0]])
+    poly, y = color.Lagrange_interpolation(pts, pts[:, 0])
+    np.testing.assert_allclose(y, pts[:, 1], atol=1e-9)
+    # quadratic through 3 points: compare against numpy polyfit
+    coeffs = np.polyfit(pts[:, 0], pts[:, 1], 2)
+    x = np.linspace(0, 100, 11)
+    np.testing.assert_allclose(poly(x), np.polyval(coeffs, x), atol=1e-6)
+
+
+def test_grey_point_runs_and_moves_mean():
+    src = color.LABImage(
+        L=RNG.random((16, 16)) * 100,
+        A=RNG.standard_normal((16, 16)) * 10,
+        B=RNG.standard_normal((16, 16)) * 10,
+    )
+    out = color.grey_point(src, 45.0)
+    assert out.L.shape == src.L.shape
+    assert np.isfinite(out.L).all()
+
+
+def test_auto_vibrance_boosts_saturation():
+    a = RNG.standard_normal((32, 32)) * 30
+    src = color.LABImage(L=RNG.random((32, 32)) * 100, A=a.copy(), B=a.copy())
+    out = color.auto_vibrance(src)
+    # ratio s2/s1 >= 1 in the tails -> chroma magnitude grows on average
+    assert np.abs(out.A).mean() >= np.abs(src.A).mean() * 0.99
+
+
+def test_divTV_matches_numpy_reference():
+    image = RNG.random((12, 14)).astype(np.float32)
+
+    def ref_divtv(img):
+        grad = np.zeros_like(img)
+        fx = np.pad(img, ((0, 0), (1, 0)), mode="edge")[:, 1:] - img
+        fy = np.pad(img, ((1, 0), (0, 0)), mode="edge")[1:, :] - img
+        grad += (fx + fy) / np.maximum(1e-3, np.sqrt(fx**2 + fy**2))
+        fx = np.pad(img, ((0, 0), (0, 1)), mode="edge")[:, :-1] - img
+        fy = np.pad(img, ((0, 1), (1, 0)), mode="edge")[:-1, 1:] - np.pad(
+            img, ((1, 0), (0, 0)), mode="edge"
+        )[1:, :]
+        grad -= fx / np.maximum(1e-3, np.sqrt(fx**2 + fy**2))
+        fy = np.pad(img, ((0, 1), (0, 0)), mode="edge")[:-1, :] - img
+        fx = np.pad(img, ((1, 0), (0, 1)), mode="edge")[1:, :-1] - np.pad(
+            img, ((0, 0), (0, 1)), mode="edge"
+        )[:, 1:]
+        grad -= fy / np.maximum(1e-3, np.sqrt(fy**2 + fx**2))
+        return grad
+
+    np.testing.assert_allclose(
+        np.asarray(color.divTV(image)), ref_divtv(image), atol=1e-5
+    )
+
+
+def test_gradTVEM_finite_and_zero_on_flat():
+    u = RNG.random((10, 10)).astype(np.float32)
+    g = np.asarray(color.gradTVEM(u, u))
+    assert np.isfinite(g).all()
+    flat = np.full((10, 10), 0.5, np.float32)
+    gf = np.asarray(color.gradTVEM(flat, flat))
+    np.testing.assert_allclose(gf, 0.0, atol=1e-6)
+
+
+def test_hsv_roundtrip_matches_colorsys():
+    rgb = RNG.random((40, 3)).astype(np.float32)
+    hsv = np.asarray(color.rgb_to_hsv(jnp.asarray(rgb)))
+    for i in range(rgb.shape[0]):
+        h, s, v = colorsys.rgb_to_hsv(*rgb[i])
+        np.testing.assert_allclose(hsv[i], [h, s, v], atol=1e-5)
+    back = np.asarray(color.hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_hue_rad_roundtrip():
+    theta = np.linspace(0.001, 0.999, 50).astype(np.float32)
+    rad = np.asarray(color.normal2rad(jnp.asarray(theta)))
+    assert rad.min() >= -np.pi - 1e-6 and rad.max() <= np.pi + 1e-6
+    back = np.asarray(color.rad2normal(jnp.asarray(rad)))
+    np.testing.assert_allclose(back, theta, atol=1e-5)
+
+
+def test_hue_shift_moves_toward_target():
+    src = jnp.asarray(np.full(8, 0.5, np.float32))  # hue angle 0.5 rad
+    shifted = np.asarray(color.hue_shift(src, 1.5, 1.0))
+    assert (shifted > 0.5).all()  # moved toward target
+    unshifted = np.asarray(color.hue_shift(src, 1.5, 0.0))
+    np.testing.assert_allclose(unshifted, 0.5)
+
+
+def test_luma_masks_normalized():
+    l = RNG.random((15, 15)).astype(np.float32)
+    low, mid, high = color.luma_masks(jnp.asarray(l))
+    np.testing.assert_allclose(
+        np.asarray(low + mid + high), np.ones_like(l), atol=1e-5
+    )

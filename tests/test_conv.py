@@ -1,0 +1,78 @@
+"""Convolution semantics vs scipy.signal.convolve (ref uses scipy directly,
+lib/deconvolution.pyx:478,491,558,571, and fft_slice cropping :102-126)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from ics_tpu.ops.conv import (
+    _next_fast_len,
+    convolve2d,
+    convolve_rgb,
+    fft_autocorrelate_same,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("mode", ["valid", "same", "full"])
+@pytest.mark.parametrize("method", ["direct", "fft"])
+@pytest.mark.parametrize(
+    "ashape,kshape",
+    [((17, 23), (5, 7)), ((16, 16), (4, 4)), ((31, 29), (3, 3)), ((9, 9), (9, 9))],
+)
+def test_convolve2d_matches_scipy(mode, method, ashape, kshape):
+    a = RNG.standard_normal(ashape).astype(np.float32)
+    k = RNG.standard_normal(kshape).astype(np.float32)
+    ours = np.asarray(convolve2d(jnp.asarray(a), jnp.asarray(k), mode, method))
+    ref = sig.convolve(a, k, mode=mode)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["valid", "same", "full"])
+@pytest.mark.parametrize("method", ["direct", "fft"])
+def test_convolve_rgb_per_channel(mode, method):
+    a = RNG.standard_normal((21, 19, 3)).astype(np.float32)
+    k = RNG.standard_normal((5, 5, 3)).astype(np.float32)
+    ours = np.asarray(convolve_rgb(jnp.asarray(a), jnp.asarray(k), mode, method))
+    for c in range(3):
+        ref = sig.convolve(a[..., c], k[..., c], mode=mode)
+        np.testing.assert_allclose(ours[..., c], ref, atol=2e-4)
+
+
+def test_convolve_rgb_broadcast_kernel():
+    a = RNG.standard_normal((11, 13, 3)).astype(np.float32)
+    k = RNG.standard_normal((3, 3)).astype(np.float32)
+    ours = np.asarray(convolve_rgb(jnp.asarray(a), jnp.asarray(k), "same"))
+    for c in range(3):
+        ref = sig.convolve(a[..., c], k, mode="same")
+        np.testing.assert_allclose(ours[..., c], ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [(9, 11), (12, 12), (25, 25)])
+def test_fft_autocorrelate_same(shape):
+    p = RNG.standard_normal((*shape, 3)).astype(np.float32)
+    ours = np.asarray(fft_autocorrelate_same(jnp.asarray(p)))
+    for c in range(3):
+        ref = sig.convolve(p[..., c], np.rot90(p[..., c], 2), mode="same")
+        np.testing.assert_allclose(ours[..., c], ref, atol=5e-4)
+
+
+def test_next_fast_len():
+    for n in range(1, 700):
+        m = _next_fast_len(n)
+        assert m >= n
+        x = m
+        for p in (2, 3, 5):
+            while x % p == 0:
+                x //= p
+        assert x == 1, f"{m} not 2/3/5-smooth"
+        # tight: no smaller smooth number in between
+        for cand in range(n, m):
+            y = cand
+            for p in (2, 3, 5):
+                while y % p == 0:
+                    y //= p
+            assert y != 1

@@ -1,0 +1,101 @@
+"""End-to-end deblur pipeline tests (ref deconvolve.py:24-368)."""
+
+import numpy as np
+import pytest
+
+from ics_tpu import build_pyramid, deblur_module, pad_image
+
+RNG = np.random.default_rng(17)
+
+
+def test_build_pyramid_schedule():
+    """Pyramid math must match the reference exactly (ref deconvolve.py:40-60)."""
+    images, kernels = build_pyramid(13, 10.0)
+    assert kernels[0] == 13
+    assert all(k % 2 == 1 and k >= 3 for k in kernels)
+    assert kernels[-1] == 3
+    # scales shrink by sqrt(2)
+    for a, b in zip(images, images[1:]):
+        np.testing.assert_allclose(b, a / np.sqrt(2))
+    # spot-check the exact schedule for width 13
+    assert kernels == [13, 9, 7, 5, 3]
+
+
+def test_build_pyramid_minimal():
+    images, kernels = build_pyramid(3, 1.0)
+    assert kernels == [3] and images == [1.0]
+
+
+def test_pad_image_modes():
+    img = RNG.random((4, 5, 3)).astype(np.float32)
+    out = pad_image(img, (1, 1))
+    assert out.shape == (6, 7, 3)
+    np.testing.assert_allclose(out[1:-1, 1:-1], img)
+    out2 = pad_image(img, ((1, 0), (0, 0)))
+    assert out2.shape == (5, 5, 3)
+
+
+def test_deblur_module_validations(tmp_path):
+    pic = (RNG.random((64, 64, 3)) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="at least 3"):
+        deblur_module(pic, "x", None, 1, verbose=False)
+    with pytest.raises(ValueError, match="odd"):
+        deblur_module(pic, "x", None, 4, verbose=False)
+    with pytest.raises(ValueError, match="outside the picture"):
+        deblur_module(pic, "x", None, 3, mask=[2, 2], mask_size=33, verbose=False)
+
+
+def test_deblur_module_end_to_end(tmp_path):
+    """Smallest full run: single-level pyramid, blind + non-blind phases,
+    16-bit TIFF output."""
+    # Synthetic scene: blurred blocks.  Kept away from 0 — the reference's
+    # DoF mask divides by (gradu + image) with no epsilon (ref
+    # lib/deconvolution.pyx:499), so near-zero pixels can blow up in either
+    # implementation.
+    sharp = np.kron(
+        0.25 + 0.6 * RNG.random((12, 12, 3)), np.ones((8, 8, 1))
+    ).astype(np.float32)
+    import scipy.signal as sig
+    from ics_tpu.ops.windows import gaussian_kernel
+
+    k = gaussian_kernel(3, 1.0)
+    blurry = np.stack(
+        [sig.convolve(sharp[..., c], k, mode="same") for c in range(3)], axis=-1
+    )
+    pic8 = np.clip(blurry * 255, 0, 255).astype(np.uint8)
+
+    out = deblur_module(
+        pic8,
+        "test-deblur",
+        str(tmp_path),
+        3,
+        mask_size=31,
+        iterations=4,
+        tolerance=10.0,
+        verbose=False,
+    )
+    assert out.shape == pic8.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= 0 and out.max() <= 65535
+
+    from ics_tpu.utils.io import imread
+
+    saved = imread(str(tmp_path / "test-deblur.tif"))
+    assert saved.dtype == np.uint16
+    assert saved.shape == pic8.shape
+
+
+def test_deblur_module_preview(tmp_path):
+    pic8 = (RNG.random((72, 72, 3)) * 255).astype(np.uint8)
+    out = deblur_module(
+        pic8,
+        "prev",
+        str(tmp_path),
+        3,
+        mask_size=25,
+        iterations=3,
+        preview=True,
+        verbose=False,
+    )
+    # preview crops to the mask window
+    assert out.shape[0] < 72 and out.shape[1] < 72

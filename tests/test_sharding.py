@@ -1,0 +1,98 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(the TPU analog of multi-node-without-a-cluster, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from ics_tpu import richardson_lucy_MM
+from ics_tpu.ops.windows import gaussian_kernel, uniform_kernel
+from ics_tpu.parallel import (
+    batched_deconvolve,
+    make_mesh,
+    sharded_convolve_rgb,
+    sharded_richardson_lucy,
+)
+
+RNG = np.random.default_rng(21)
+
+
+def test_virtual_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_convolve_matches_scipy():
+    mesh = make_mesh(4)
+    img = RNG.random((64, 40, 3)).astype(np.float32)
+    kern = np.dstack([gaussian_kernel(5, 1.2)] * 3).astype(np.float32)
+    out = np.asarray(sharded_convolve_rgb(jnp.asarray(img), jnp.asarray(kern), mesh))
+    for c in range(3):
+        ref = sig.convolve(img[..., c], kern[..., c], mode="same")
+        np.testing.assert_allclose(out[..., c], ref, atol=2e-4)
+
+
+def test_sharded_solver_matches_single_device():
+    import scipy.signal as sig
+
+    mk = 5
+    pad = mk // 2
+    m = 63  # contrived so m and u_m need uneven sharding over 4 devices
+    # Smooth image: the DoF term divides by (gradu + image) with no epsilon
+    # (reference behavior), which near zero chaotically amplifies the
+    # reduction-order float noise legitimately introduced by sharding.
+    base = RNG.random((m + 8, m + 8, 3))
+    k = gaussian_kernel(9, 2.0)
+    smooth = np.stack(
+        [sig.convolve(base[..., c], k, mode="valid") for c in range(3)], axis=-1
+    )[:m, :m]
+    image = np.clip(smooth, 0.2, 0.9).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(tau=0.0, iterations=3, step_factor=1e-3, lambd=1000.0, blind=True)
+
+    single = richardson_lucy_MM(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw
+    )
+    mesh = make_mesh(4)
+    sharded = sharded_richardson_lucy(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, kw["tau"],
+        mesh=mesh, iterations=3, step_factor=1e-3, lambd=1000.0, blind=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.u), np.asarray(single.u), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.psf), np.asarray(single.psf), atol=5e-6
+    )
+
+
+def test_batched_deconvolve_matches_loop():
+    mk = 3
+    pad = mk // 2
+    m = 17
+    b = 8
+    images = np.clip(RNG.random((b, m, m, 3)), 0.05, 0.95).astype(np.float32)
+    us = np.stack(
+        [np.pad(images[i], ((pad, pad), (pad, pad), (0, 0)), mode="edge") for i in range(b)]
+    ).astype(np.float32)
+    psfs = np.stack([np.dstack([uniform_kernel(mk)] * 3)] * b).astype(np.float32)
+
+    from ics_tpu.parallel.mesh import BATCH_AXIS
+
+    mesh = make_mesh(8, axis_name=BATCH_AXIS)
+    u_b, psf_b = batched_deconvolve(
+        images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        iterations=2, step_factor=1e-3, lambd=1000.0, blind=True, mesh=mesh,
+    )
+    u_b = np.asarray(u_b)
+    psf_b = np.asarray(psf_b)
+
+    for i in range(0, b, 3):
+        single = richardson_lucy_MM(
+            images[i], us[i], psfs[i], pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+            tau=0.0, iterations=2, step_factor=1e-3, lambd=1000.0, blind=True,
+        )
+        np.testing.assert_allclose(u_b[i], np.asarray(single.u), atol=1e-5)
+        np.testing.assert_allclose(psf_b[i], np.asarray(single.psf), atol=1e-6)

@@ -1,0 +1,70 @@
+"""TV stencil vs a direct per-pixel NumPy transcription of the reference
+formulas (ref lib/deconvolution.pyx:137-239)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_tpu.ops.tv import tv_op
+
+RNG = np.random.default_rng(7)
+SQRT2 = math.sqrt(2.0)
+
+
+def _tv_loops(u, eps, order, norm):
+    m, n, _ = u.shape
+    out = np.zeros_like(u)
+    div = np.zeros_like(u)
+    adjust = 4.0 * (1 + 1 / SQRT2) if norm == 1 else 2.0 * (1 + SQRT2)
+    nf = (
+        (lambda x, y: abs(x) + abs(y) + eps)
+        if norm == 1
+        else (lambda x, y: math.sqrt(x * x + y * y + eps * eps))
+    )
+    for i in range(1, m - 1):
+        for j in range(1, n - 1):
+            for k in range(3):
+                if order == 2:
+                    udx = -2 * u[i, j, k] + u[i - 1, j, k] + u[i + 1, j, k]
+                    udy = -2 * u[i, j, k] + u[i, j - 1, k] + u[i, j + 1, k]
+                    udxdy = (-2 * u[i, j, k] + u[i - 1, j - 1, k] + u[i + 1, j + 1, k]) / SQRT2
+                    udydx = (-2 * u[i, j, k] + u[i - 1, j + 1, k] + u[i + 1, j - 1, k]) / SQRT2
+                    div[i, j, k] = (-udx - udy - udxdy - udydx) / adjust
+                    out[i, j, k] = (nf(udx, udy) + nf(udxdy, udydx)) / adjust
+                else:
+                    udx_b = u[i, j, k] - u[i - 1, j, k]
+                    udy_b = u[i, j, k] - u[i, j - 1, k]
+                    udx_f = -u[i, j, k] + u[i + 1, j, k]
+                    udy_f = -u[i, j, k] + u[i, j + 1, k]
+                    udxdy_b = (u[i, j, k] - u[i - 1, j - 1, k]) / SQRT2
+                    udydx_b = (u[i, j, k] - u[i - 1, j + 1, k]) / SQRT2
+                    udydx_f = (-u[i, j, k] + u[i + 1, j - 1, k]) / SQRT2
+                    udxdy_f = (-u[i, j, k] + u[i + 1, j + 1, k]) / SQRT2
+                    div[i, j, k] = (
+                        udx_b + udy_b - udx_f - udy_f + udxdy_b + udydx_b - udxdy_f - udydx_f
+                    ) / adjust
+                    out[i, j, k] = (
+                        nf(udx_b, udy_b) + nf(udx_f, udy_f) + nf(udxdy_b, udydx_b) + nf(udxdy_f, udydx_f)
+                    ) / adjust
+    return out, div
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("norm", [1, 2])
+def test_tv_matches_reference_loops(order, norm):
+    u = RNG.standard_normal((9, 8, 3)).astype(np.float32)
+    eps = 1e-2
+    tv, div = tv_op(jnp.asarray(u), eps, order=order, norm=norm)
+    tv_ref, div_ref = _tv_loops(u.astype(np.float64), eps, order, norm)
+    np.testing.assert_allclose(np.asarray(tv), tv_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(div), div_ref, atol=1e-5)
+
+
+def test_tv_borders_zero():
+    u = RNG.standard_normal((7, 7, 3)).astype(np.float32)
+    tv, div = tv_op(jnp.asarray(u), 1e-2)
+    for arr in (np.asarray(tv), np.asarray(div)):
+        assert (arr[0] == 0).all() and (arr[-1] == 0).all()
+        assert (arr[:, 0] == 0).all() and (arr[:, -1] == 0).all()
