@@ -20,19 +20,13 @@ from os.path import join
 import numpy as np
 
 from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
-from ics_tpu.ops.psf import normalize_kernel_np
+from ics_tpu.ops.psf import normalize_kernel
 from ics_tpu.ops.windows import uniform_kernel
 from ics_tpu.utils.resize import resize as resize_scipy
 from ics_tpu.utils.resize import resize_jax
 from ics_tpu.utils.timing import timeit
 
 __all__ = ["pad_image", "build_pyramid", "deblur_module"]
-
-
-def jnp_float32(a):
-    import jax.numpy as jnp
-
-    return jnp.asarray(a, jnp.float32)
 
 
 def pad_image(image: np.ndarray, pad, mode: str = "edge") -> np.ndarray:
@@ -89,11 +83,23 @@ def deblur_module(
 
     ``resize_backend``: 'jax' (on-device Keys cubic, the fast path) or
     'scipy' (host B-spline matching the reference's skimage resize).
+
+    The whole pyramid loop runs on device arrays — between levels nothing
+    crosses host<->device except solver status scalars; the reference's
+    equivalent loop shuttles full images through NumPy each level.
     """
+    import jax.numpy as jnp
+
     if resize_backend == "jax":
-        resize = lambda a, s: np.asarray(resize_jax(jnp_float32(a), s))
+        resize = lambda a, s: resize_jax(a, s).astype(jnp.float32)
     else:
-        resize = resize_scipy
+        resize = lambda a, s: jnp.asarray(
+            resize_scipy(np.asarray(a), s), jnp.float32
+        )
+
+    def pad_edge(arr, spec):
+        return jnp.pad(arr, (*spec, (0, 0)), mode="edge")
+
     pic = np.ascontiguousarray(pic, dtype=np.float32)
     pic = pad_image(pic, (1, 1))  # extra-pad for safety (ref :94)
 
@@ -139,12 +145,12 @@ def deblur_module(
         pic = pad_image(pic, ((0, 0), (1, 0)))
         odd_hor = True
 
-    psf = uniform_kernel(blur_width).astype(np.float32)
-    psf = np.dstack((psf, psf, psf))
+    psf = jnp.asarray(np.dstack([uniform_kernel(blur_width)] * 3), jnp.float32)
 
     images, kernels = build_pyramid(blur_width, confidence)
 
-    deblured_image = pic.copy()
+    pic = jnp.asarray(pic)  # single upload; the loop below stays on-device
+    deblured_image = pic
     solver_cfg = config or RLConfig(
         p=p, norm=norm, order=order, priority=priority, refocus=refocus
     )
@@ -153,7 +159,7 @@ def deblur_module(
         for case in ["blind", "non-blind"]:
             if verbose:
                 print("\n===== %s DECONVOLUTION =====" % case)
-            deblured_image = pic.copy()
+            deblured_image = pic
             lambd = confidence * 1000  # ref :200
 
             for i, k in zip(reversed(images), reversed(kernels)):
@@ -190,20 +196,19 @@ def deblur_module(
                     temp_height += 1
                 shape = (temp_height, temp_width, 3)
 
-                temp_blurry_image = resize(pic, shape).astype(np.float32)
-                deblured_image = resize(deblured_image, shape).astype(np.float32)
+                temp_blurry_image = resize(pic, shape)
+                deblured_image = resize(deblured_image, shape)
 
                 if case == "blind":
-                    psf_copy = resize(psf, (k, k)).astype(np.float32)
-                    psf_copy = normalize_kernel_np(psf_copy)
+                    psf_copy = normalize_kernel(resize(psf, (k, k)))
                 else:
-                    psf_copy = psf.copy()
+                    psf_copy = psf
                     k = kernels[0]
 
                 # Extra safety padding — the gradient is not evaluated on
                 # borders (ref :256-257)
-                temp_blurry_image = pad_image(temp_blurry_image, (1, 1))
-                deblured_image = pad_image(deblured_image, (1, 1))
+                temp_blurry_image = pad_edge(temp_blurry_image, ((1, 1), (1, 1)))
+                deblured_image = pad_edge(deblured_image, ((1, 1), (1, 1)))
 
                 pad = int(np.floor(k / 2))
 
@@ -240,11 +245,11 @@ def deblur_module(
                         config=solver_cfg,
                         verbose=verbose,
                     )
-                    deblured_image[
+                    deblured_image = deblured_image.at[
                         temp_top - 1 : temp_bottom + 1,
                         temp_left - 1 : temp_right + 1,
-                    ] = np.asarray(res.u)
-                    psf = np.asarray(res.psf).copy()
+                    ].set(res.u)
+                    psf = res.psf
                 elif preview:
                     res = richardson_lucy_MM(
                         temp_blurry_image[
@@ -268,12 +273,14 @@ def deblur_module(
                         config=solver_cfg,
                         verbose=verbose,
                     )
-                    deblured_image[
+                    deblured_image = deblured_image.at[
                         temp_top - 1 : temp_bottom + 1,
                         temp_left - 1 : temp_right + 1,
-                    ] = np.asarray(res.u)
+                    ].set(res.u)
                 else:
-                    deblured_image = pad_image(deblured_image, (pad, pad))
+                    deblured_image = pad_edge(
+                        deblured_image, ((pad, pad), (pad, pad))
+                    )
                     res = richardson_lucy_MM(
                         temp_blurry_image,
                         deblured_image,
@@ -290,8 +297,7 @@ def deblur_module(
                         config=solver_cfg,
                         verbose=verbose,
                     )
-                    deblured_image[pad:-pad, pad:-pad, ...] = np.asarray(res.u)
-                    deblured_image = deblured_image[pad:-pad, pad:-pad, ...]
+                    deblured_image = res.u
 
                 # Strip the safety padding (ref :322-323)
                 temp_blurry_image = temp_blurry_image[1:-1, 1:-1, ...]
@@ -300,12 +306,17 @@ def deblur_module(
             if display and case == "blind":  # control preview (ref :331-336)
                 import matplotlib.pyplot as plt
 
-                psf_check = (psf - np.amin(psf)) / (np.amax(psf) - np.amin(psf))
+                psf_np = np.asarray(psf)
+                psf_check = (psf_np - np.amin(psf_np)) / (
+                    np.amax(psf_np) - np.amin(psf_np)
+                )
                 plt.imshow(psf_check, interpolation="lanczos", aspect="equal",
                            vmin=0, vmax=1)
                 plt.show()
                 plt.imshow(
-                    (deblured_image[top:bottom, left:right, ...] * 255).astype(np.uint8),
+                    np.asarray(
+                        deblured_image[top:bottom, left:right, ...] * 255
+                    ).astype(np.uint8),
                     interpolation="lanczos", aspect="equal", vmin=0, vmax=255,
                 )
                 plt.show()
@@ -314,9 +325,9 @@ def deblur_module(
         # Salvage the current iterate on hard interrupt (ref :338-342)
         pass
 
-    deblured_image = np.clip(deblured_image, 0.0, 1.0)
+    deblured_image = jnp.clip(deblured_image, 0.0, 1.0)
     deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
-    deblured_image = deblured_image * (2**16 - 1)
+    deblured_image = np.asarray(deblured_image * (2**16 - 1))  # single download
 
     if preview:
         filename = filename + "-preview"

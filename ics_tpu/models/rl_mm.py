@@ -52,6 +52,10 @@ class RLConfig:
 
     use_tv: bool = False  # False = as-checked-in parity; True = intended MM math
     conv_method: str = "auto"  # 'direct' | 'fft' | 'auto'
+    # 'exact': float32 convs (lax.Precision.HIGHEST, 6 bf16 MXU passes) for
+    # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
+    # throughput at a small accuracy cost; validate SSIM for your use.
+    conv_precision: str = "exact"
     # Vestigial reference kwargs, accepted for API parity and documented as
     # unused downstream (SURVEY.md §5 "Config"): p, norm, order are forwarded
     # but hardcoded at the TV call sites (ref lib/deconvolution.pyx:495-496);
@@ -96,6 +100,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "correlation",
         "use_tv",
         "conv_method",
+        "conv_precision",
         "use_stopping",
     ),
 )
@@ -117,6 +122,7 @@ def _solve(
     correlation,
     use_tv,
     conv_method,
+    conv_precision="exact",
     use_stopping=True,
 ):
     m, n, _ = image.shape
@@ -124,7 +130,12 @@ def _solve(
     mk = psf.shape[0]
     pad = (u_m - m) // 2
     epsilon = _EPS_BLIND if blind else _EPS_NONBLIND
-    conv = functools.partial(convolve_rgb, method=conv_method)
+    from jax import lax as _lax
+
+    prec = (
+        _lax.Precision.HIGHEST if conv_precision == "exact" else _lax.Precision.DEFAULT
+    )
+    conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
     f32 = jnp.float32
 
     def inner_step(carry, _):
@@ -345,6 +356,7 @@ def richardson_lucy_MM(
         correlation=bool(correlation),
         use_tv=cfg.use_tv,
         conv_method=cfg.conv_method,
+        conv_precision=cfg.conv_precision,
     )
     it = int(it)
     converged = bool(stop)

@@ -3,18 +3,22 @@
 The reference routes every hot convolution through ``scipy.signal.convolve``
 (FFT under the hood — ref lib/deconvolution.pyx:13,478,491,558,571) and keeps
 a ``fft_slice`` helper for cropping FFT output (ref lib/deconvolution.pyx:102-126).
-Here the same semantics are provided by two XLA-native backends:
+Here the same semantics are provided by three XLA-native backends:
 
+* ``stencil`` — shift-and-add over the kernel taps; XLA fuses the whole tap
+  sum into one VPU pass over VMEM tiles.  Fastest for small PSFs (float32
+  throughout, so it is also the exact-parity path).
 * ``direct`` — ``lax.conv_general_dilated`` (correlation) with the kernel
-  flipped and per-mode asymmetric padding.  Grouped over RGB channels so one
-  conv op handles per-channel kernels.  Best for small PSFs.
+  flipped and per-mode asymmetric padding, grouped over RGB channels.
+  Mid-size kernels, where the stencil unroll gets compile-heavy.
 * ``fft``    — rfft2/irfft2 at full linear-convolution size (optionally padded
   to the next 2/3/5-smooth length for TPU FFT speed), then cropped with the
-  same centering rule scipy uses (offset = floor((full - out)/2)).  Best for
-  large kernels (e.g. the whiteness-metric autocorrelation where the kernel
-  is the size of the image patch).
+  same centering rule scipy uses (offset = floor((full - out)/2)).  Large
+  kernels (e.g. the whiteness-metric autocorrelation where the kernel is the
+  size of the image patch).
 
-``mode='auto'`` picks per call.  Everything is shape-static and jit-safe.
+``method='auto'`` picks per call by tap count.  Everything is shape-static
+and jit-safe.
 """
 
 from __future__ import annotations
@@ -27,8 +31,11 @@ from jax import lax
 
 __all__ = ["convolve2d", "convolve_rgb", "fft_autocorrelate_same"]
 
-# Kernel area above which the FFT backend wins on TPU (measured; direct
-# grouped conv is VPU-bound at small tap counts, FFT amortizes at large).
+# Backend selection thresholds (measured on v5e, 25 MP images, f32):
+# shift-and-add stencil ~3-6 ms (one fused VPU pass, cost linear in taps),
+# grouped lax.conv ~90 ms, FFT ~386 ms but flat in kernel size.  Stencil
+# compile cost grows with taps (one HLO slice+fma per tap), so cap it.
+_STENCIL_THRESHOLD_TAPS = 13 * 13
 _FFT_THRESHOLD_TAPS = 31 * 31
 
 
@@ -100,6 +107,34 @@ def _conv_direct(a: jax.Array, k: jax.Array, mode: str, precision) -> jax.Array:
     return out[0]
 
 
+def _conv_stencil(a: jax.Array, k: jax.Array, mode: str) -> jax.Array:
+    """Shift-and-add convolution: out = sum_taps k[t] * shift(a).
+
+    For small PSFs this is the fastest TPU path: XLA fuses the whole tap sum
+    into ONE elementwise pass over VMEM tiles (two HBM passes total), where
+    ``lax.conv`` with feature_group_count=C lowers to a poorly-utilized
+    grouped conv.  a: (C, H, W); k: (C, MK, NK).
+    """
+    c, m, n = a.shape
+    _, mk, nk = k.shape
+    (plo, phi) = _pads(mk, mode)
+    (qlo, qhi) = _pads(nk, mode)
+    padded = jnp.pad(a, ((0, 0), (plo, phi), (qlo, qhi)))
+    out_m = m + plo + phi - mk + 1
+    out_n = n + qlo + qhi - nk + 1
+    out = jnp.zeros((c, out_m, out_n), a.dtype)
+    # convolution: out[i] = sum_t a[i + (mk-1-t) - lo] k[t]  (kernel flipped)
+    for ti in range(mk):
+        for tj in range(nk):
+            patch = lax.slice(
+                padded,
+                (0, mk - 1 - ti, nk - 1 - tj),
+                (c, mk - 1 - ti + out_m, nk - 1 - tj + out_n),
+            )
+            out = out + patch * k[:, ti : ti + 1, tj : tj + 1]
+    return out
+
+
 def _conv_fft(a: jax.Array, k: jax.Array, mode: str, fast_len: bool) -> jax.Array:
     """Batched FFT convolution. a: (C,H,W); k: (C,MK,NK)."""
     _, m, n = a.shape
@@ -122,7 +157,15 @@ def _conv_fft(a: jax.Array, k: jax.Array, mode: str, fast_len: bool) -> jax.Arra
 def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
     if method == "auto":
-        method = "fft" if mk * nk > _FFT_THRESHOLD_TAPS else "direct"
+        taps = mk * nk
+        if taps <= _STENCIL_THRESHOLD_TAPS:
+            method = "stencil"
+        elif taps <= _FFT_THRESHOLD_TAPS:
+            method = "direct"
+        else:
+            method = "fft"
+    if method == "stencil":
+        return _conv_stencil(a3, k3, mode)
     if method == "direct":
         return _conv_direct(a3, k3, mode, precision)
     if method == "fft":

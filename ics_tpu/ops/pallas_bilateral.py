@@ -35,7 +35,7 @@ def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):
     def kernel(hbm_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
         band = pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(i * tile_h, tile_h + 2 * radius), :],
+            hbm_ref.at[pl.ds(i * tile_h, tile_h + 2 * radius)],
             scratch,
             sem,
         )
@@ -69,9 +69,10 @@ def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "std_i", "std_s", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("h", "radius", "std_i", "std_s", "tile_h", "interpret"),
 )
-def _bilateral_plane(padded, h, *, radius, std_i, std_s, tile_h, interpret):
+def _bilateral_plane(padded, *, h, radius, std_i, std_s, tile_h, interpret):
     """padded: (H_pad+2r, W+2r) symmetric-padded plane; returns (h, W)."""
     hp = padded.shape[0] - 2 * radius
     w = padded.shape[1] - 2 * radius
@@ -80,7 +81,7 @@ def _bilateral_plane(padded, h, *, radius, std_i, std_s, tile_h, interpret):
     out = pl.pallas_call(
         _make_kernel(radius, std_i, std_s, tile_h, w),
         grid=(grid_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -115,7 +116,7 @@ def bilateral_pallas(
     padded = jnp.pad(padded, ((0, h_pad - h), (0, 0)), mode="edge")
     return _bilateral_plane(
         padded,
-        h,
+        h=int(h),
         radius=int(radius),
         std_i=float(std_i),
         std_s=float(std_s),
