@@ -74,6 +74,7 @@ def deblur_module(
     config: RLConfig | None = None,
     verbose: bool = True,
     resize_backend: str = "jax",
+    solver: str = "mm",
 ) -> np.ndarray:
     """Blind deblurring API (parity: ref deconvolve.py:66-368).
 
@@ -83,6 +84,9 @@ def deblur_module(
 
     ``resize_backend``: 'jax' (on-device Keys cubic, the fast path) or
     'scipy' (host B-spline matching the reference's skimage resize).
+
+    ``solver``: 'mm' (TV-MM, the reference's checked-in solver), 'pam'
+    (TV-PAM) or 'pd' (TV-PD) — the three families of ref README.md:42-44.
 
     The whole pyramid loop runs on device arrays — between levels nothing
     crosses host<->device except solver status scalars; the reference's
@@ -115,6 +119,8 @@ def deblur_module(
         raise ValueError(
             "The blur width should be odd. You can use %i." % (blur_width + 1)
         )
+    if solver not in ("mm", "pam", "pd"):
+        raise ValueError(f"unknown solver {solver!r} (use 'mm', 'pam' or 'pd')")
 
     MK = blur_width
     M, N = pic.shape[0], pic.shape[1]
@@ -151,9 +157,23 @@ def deblur_module(
 
     pic = jnp.asarray(pic)  # single upload; the loop below stays on-device
     deblured_image = pic
-    solver_cfg = config or RLConfig(
-        p=p, norm=norm, order=order, priority=priority, refocus=refocus
-    )
+    if solver == "mm":
+        solver_fn = richardson_lucy_MM
+        solver_cfg = config or RLConfig(
+            p=p, norm=norm, order=order, priority=priority, refocus=refocus
+        )
+    elif solver == "pam":
+        from ics_tpu.models.rl_pam import richardson_lucy_PAM
+
+        solver_fn = richardson_lucy_PAM
+        solver_cfg = config
+    elif solver == "pd":
+        from ics_tpu.models.rl_pd import richardson_lucy_PD
+
+        solver_fn = richardson_lucy_PD
+        solver_cfg = config
+    else:
+        raise ValueError(f"unknown solver {solver!r} (use 'mm', 'pam' or 'pd')")
 
     try:
         for case in ["blind", "non-blind"]:
@@ -222,7 +242,7 @@ def deblur_module(
                 tolerance_temp = tolerance if i == 1.0 else 0
 
                 if case == "blind":
-                    res = richardson_lucy_MM(
+                    res = solver_fn(
                         temp_blurry_image[
                             temp_top - 1 : temp_bottom + 1,
                             temp_left - 1 : temp_right + 1,
@@ -243,7 +263,7 @@ def deblur_module(
                         blind=True,
                         correlation=correlation,
                         config=solver_cfg,
-                        verbose=verbose,
+                        **({"verbose": verbose} if solver == "mm" else {}),
                     )
                     deblured_image = deblured_image.at[
                         temp_top - 1 : temp_bottom + 1,
@@ -251,7 +271,7 @@ def deblur_module(
                     ].set(res.u)
                     psf = res.psf
                 elif preview:
-                    res = richardson_lucy_MM(
+                    res = solver_fn(
                         temp_blurry_image[
                             temp_top - 1 : temp_bottom + 1,
                             temp_left - 1 : temp_right + 1,
@@ -271,7 +291,7 @@ def deblur_module(
                         lambd=lambd,
                         blind=False,
                         config=solver_cfg,
-                        verbose=verbose,
+                        **({"verbose": verbose} if solver == "mm" else {}),
                     )
                     deblured_image = deblured_image.at[
                         temp_top - 1 : temp_bottom + 1,
@@ -281,7 +301,7 @@ def deblur_module(
                     deblured_image = pad_edge(
                         deblured_image, ((pad, pad), (pad, pad))
                     )
-                    res = richardson_lucy_MM(
+                    res = solver_fn(
                         temp_blurry_image,
                         deblured_image,
                         psf_copy,
@@ -295,7 +315,7 @@ def deblur_module(
                         lambd=lambd,
                         blind=False,
                         config=solver_cfg,
-                        verbose=verbose,
+                        **({"verbose": verbose} if solver == "mm" else {}),
                     )
                     deblured_image = res.u
 

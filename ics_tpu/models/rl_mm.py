@@ -35,6 +35,7 @@ import numpy as np
 from jax import lax
 
 from ics_tpu.ops.conv import convolve_rgb, fft_autocorrelate_same
+from ics_tpu.ops.pallas_correlate import psf_gradient
 from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.reductions import whiteness_weights
 from ics_tpu.ops.tv import tv_op
@@ -56,6 +57,15 @@ class RLConfig:
     # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
     # throughput at a small accuracy cost; validate SSIM for your use.
     conv_precision: str = "exact"
+    # Blind PSF-gradient path: 'pallas' = fused shifted-dot kernel (fastest
+    # on TPU; exact f32), 'conv' = generic convolution (portable; what the
+    # sharded/batched wrappers use), 'auto' = pallas on TPU else conv.
+    psf_grad: str = "auto"
+    # Record per-outer-iteration metrics (M_r, Hu, varu) on-device and
+    # return them in RLResult.trajectory — the structured replacement for
+    # the reference's in-loop diagnostic prints (ref lib/deconvolution.pyx:
+    # 593, 618, 658-669).
+    record_metrics: bool = False
     # Vestigial reference kwargs, accepted for API parity and documented as
     # unused downstream (SURVEY.md §5 "Config"): p, norm, order are forwarded
     # but hardcoded at the TV call sites (ref lib/deconvolution.pyx:495-496);
@@ -78,6 +88,9 @@ class RLResult:
     M_r: float  # final residual-whiteness metric
     Hu: float  # final residual energy over the mask window
     varu: float  # final variance of u over the mask window
+    # per-outer-iteration (M_r, Hu, varu), length = iterations actually run;
+    # populated when RLConfig.record_metrics is set
+    trajectory: dict | None = None
 
 
 def _per_channel_max(a: jax.Array) -> jax.Array:
@@ -101,7 +114,9 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "use_tv",
         "conv_method",
         "conv_precision",
+        "psf_grad",
         "use_stopping",
+        "record",
     ),
 )
 def _solve(
@@ -123,7 +138,9 @@ def _solve(
     use_tv,
     conv_method,
     conv_precision="exact",
+    psf_grad="auto",
     use_stopping=True,
+    record=False,
 ):
     m, n, _ = image.shape
     u_m, u_n, _ = u.shape
@@ -136,6 +153,10 @@ def _solve(
         _lax.Precision.HIGHEST if conv_precision == "exact" else _lax.Precision.DEFAULT
     )
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
+    if psf_grad == "auto":
+        psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"
+    else:
+        psf_grad_method = psf_grad
     f32 = jnp.float32
 
     def inner_step(carry, _):
@@ -209,8 +230,12 @@ def _solve(
         # 9. blind PSF refinement (ref :555-589)
         if blind:
             error = conv(u, psf, mode="valid") - image
-            u_rot = rotate_180(u)
-            gradk = conv(u_rot, error, mode="valid")
+            if psf_grad_method == "pallas":
+                # = conv_valid(rot180(u), error), fused (no rotated copy)
+                gradk = psf_gradient(u, error)
+            else:
+                u_rot = rotate_180(u)
+                gradk = conv(u_rot, error, mode="valid")
             dtpsf = (
                 step_factor
                 / mk
@@ -227,7 +252,7 @@ def _solve(
         return (u, image, psf, psf_rot, error, ut, tv_ut_l1, tv_ut_l2), None
 
     def outer_body(state):
-        u, image, psf, psf_rot, error, m_r, m_r_prev, it, stop = state
+        u, image, psf, psf_rot, error, m_r, m_r_prev, it, stop, hist = state
 
         ut = u
         if use_tv:
@@ -262,14 +287,35 @@ def _solve(
             m_r_new, m_r_prev_new = m_r, m_r_prev
             stop = jnp.array(False)
 
-        return (u, image, psf, psf_rot, error, m_r_new, m_r_prev_new, it + 1, stop)
+        if record:
+            u_win = lax.slice(
+                u, (top + pad, left + pad, 0), (bottom - pad, right - pad, 3)
+            )
+            err_win = lax.slice(error, (top, left, 0), (bottom, right, 3))
+            hist = {
+                "M_r": hist["M_r"].at[it].set(m_r_new),
+                "Hu": hist["Hu"]
+                .at[it]
+                .set(jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)),
+                "varu": hist["varu"].at[it].set(jnp.std(u_win) ** 2),
+            }
+
+        return (
+            u, image, psf, psf_rot, error, m_r_new, m_r_prev_new, it + 1, stop, hist
+        )
 
     def outer_cond(state):
-        *_, it, stop = state
+        _, _, _, _, _, _, _, it, stop, _ = state
         return jnp.logical_and(it < iterations, jnp.logical_not(stop))
 
     psf_rot0 = rotate_180(psf)  # ref :441
     error0 = jnp.zeros((m, n, 3), dtype=f32)
+    hist_len = iterations if record else 1
+    hist0 = {
+        "M_r": jnp.zeros((hist_len,), f32),
+        "Hu": jnp.zeros((hist_len,), f32),
+        "varu": jnp.zeros((hist_len,), f32),
+    }
     state = (
         u,
         image,
@@ -280,8 +326,9 @@ def _solve(
         jnp.array(0.0, f32),
         jnp.array(0, jnp.int32),
         jnp.array(False),
+        hist0,
     )
-    u, image, psf, _, error, m_r, _, it, stop = lax.while_loop(
+    u, image, psf, _, error, m_r, _, it, stop, hist = lax.while_loop(
         outer_cond, outer_body, state
     )
 
@@ -294,7 +341,7 @@ def _solve(
     hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
 
     u_out = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3))  # ref :675
-    return u_out, psf, image, it, stop, m_r, hu, varu
+    return u_out, psf, image, it, stop, m_r, hu, varu, hist
 
 
 def richardson_lucy_MM(
@@ -339,7 +386,7 @@ def richardson_lucy_MM(
     psf = jnp.asarray(psf, jnp.float32)
     weights = jnp.asarray(whiteness_weights(bottom - top, right - left))
 
-    u_out, psf_out, image_out, it, stop, m_r, hu, varu = _solve(
+    u_out, psf_out, image_out, it, stop, m_r, hu, varu, hist = _solve(
         image,
         u,
         psf,
@@ -357,6 +404,8 @@ def richardson_lucy_MM(
         use_tv=cfg.use_tv,
         conv_method=cfg.conv_method,
         conv_precision=cfg.conv_precision,
+        psf_grad=cfg.psf_grad,
+        record=cfg.record_metrics,
     )
     it = int(it)
     converged = bool(stop)
@@ -376,6 +425,9 @@ def richardson_lucy_MM(
         )
         if np.any(np.isnan(np.asarray(u_out))):
             print("has NaN after DoF correction")
+    trajectory = None
+    if cfg.record_metrics:
+        trajectory = {k: np.asarray(v)[:it] for k, v in hist.items()}
     return RLResult(
         u=u_out,
         psf=psf_out,
@@ -385,4 +437,5 @@ def richardson_lucy_MM(
         M_r=float(m_r),
         Hu=float(hu),
         varu=float(varu),
+        trajectory=trajectory,
     )

@@ -80,6 +80,7 @@ def batched_deconvolve(
             correlation=correlation,
             use_tv=cfg.use_tv,
             conv_method=cfg.conv_method,
+            psf_grad="conv",  # keep the vmapped path on plain XLA ops
             use_stopping=False,
         )
         return u_out, psf_out

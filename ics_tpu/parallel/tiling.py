@@ -132,9 +132,12 @@ def sharded_richardson_lucy(
             correlation=bool(correlation),
             use_tv=cfg.use_tv,
             conv_method="direct",
+            psf_grad="conv",  # pallas_call does not partition under GSPMD
         ),
     )
-    u_out, psf_out, image_out, it, stop, m_r, hu, varu = run(image, u, psf, weights)
+    u_out, psf_out, image_out, it, stop, m_r, hu, varu, _ = run(
+        image, u, psf, weights
+    )
     return RLResult(
         u=u_out,
         psf=psf_out,

@@ -28,12 +28,77 @@ __all__ = [
     "gradTVEM",
     "rgb_to_hsv",
     "hsv_to_rgb",
+    "rgb_to_lab",
+    "lab_to_rgb",
     "normal2rad",
     "rad2normal",
     "hue_shift",
     "saturation_boost",
     "luma_masks",
 ]
+
+# D65 white point, sRGB primaries (IEC 61966-2-1)
+_XYZ_FROM_RGB = np.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ]
+)
+_RGB_FROM_XYZ = np.linalg.inv(_XYZ_FROM_RGB)
+_WHITE_D65 = np.array([0.95047, 1.0, 1.08883])
+
+
+def _srgb_to_linear(c):
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(c):
+    return jnp.where(
+        c <= 0.0031308, c * 12.92, 1.055 * jnp.maximum(c, 1e-12) ** (1 / 2.4) - 0.055
+    )
+
+
+def _lab_f(t):
+    d = 6.0 / 29.0
+    return jnp.where(t > d**3, jnp.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+
+
+def _lab_f_inv(t):
+    d = 6.0 / 29.0
+    return jnp.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+
+
+def rgb_to_lab(rgb) -> LABImage:
+    """sRGB [0,1] (..., 3) → CIELAB (L in [0,100]) as an ``LABImage``.
+
+    Gives the reference's LAB-space ops (``grey_point``, ``auto_vibrance``,
+    the ``img/bilateral-LAB`` workflow) a concrete conversion path — the
+    reference assumed an external LAB container.
+    """
+    rgb = jnp.asarray(rgb)
+    lin = _srgb_to_linear(rgb)
+    xyz = jnp.einsum("ij,...j->...i", jnp.asarray(_XYZ_FROM_RGB, lin.dtype), lin)
+    xyz = xyz / jnp.asarray(_WHITE_D65, lin.dtype)
+    f = _lab_f(xyz)
+    l = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return LABImage(L=l, A=a, B=b)
+
+
+def lab_to_rgb(lab: LABImage):
+    """CIELAB → sRGB [0,1] (..., 3), clipped to gamut."""
+    l = jnp.asarray(lab.L)
+    a = jnp.asarray(lab.A)
+    b = jnp.asarray(lab.B)
+    fy = (l + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    xyz = jnp.stack([_lab_f_inv(fx), _lab_f_inv(fy), _lab_f_inv(fz)], axis=-1)
+    xyz = xyz * jnp.asarray(_WHITE_D65, xyz.dtype)
+    lin = jnp.einsum("ij,...j->...i", jnp.asarray(_RGB_FROM_XYZ, xyz.dtype), xyz)
+    return jnp.clip(_linear_to_srgb(lin), 0.0, 1.0)
 
 
 def Lagrange_interpolation(points: np.ndarray, variable=None):

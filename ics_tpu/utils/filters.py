@@ -25,6 +25,7 @@ from ics_tpu.ops.windows import gaussian_kernel, kaiser_kernel
 
 __all__ = [
     "bilateral_filter",
+    "bilateral_lab",
     "bessel_blur",
     "gaussian_blur",
     "USM",
@@ -70,6 +71,25 @@ def bilateral_filter(source, radius: int, std_i, std_s, parallel: int = 1):
     compatibility — parallelism is XLA's problem now)."""
     del parallel
     return _bilateral(jnp.asarray(source, jnp.float32), int(radius), float(std_i), float(std_s))
+
+
+def bilateral_lab(rgb, radius: int, std_i, std_s, luminance_only: bool = True):
+    """Bilateral denoise in CIELAB (the reference's ``img/bilateral-LAB``
+    workflow; BASELINE.json config 2): convert sRGB→LAB, filter L (or all
+    three channels), convert back.
+
+    ``std_i`` is in L units (0-100 scale).
+    """
+    from ics_tpu.utils.color import LABImage, lab_to_rgb, rgb_to_lab
+
+    lab = rgb_to_lab(jnp.asarray(rgb, jnp.float32))
+    l = bilateral_filter(lab.L, radius, std_i, std_s)
+    if luminance_only:
+        a, b = lab.A, lab.B
+    else:
+        a = bilateral_filter(lab.A, radius, std_i, std_s)
+        b = bilateral_filter(lab.B, radius, std_i, std_s)
+    return lab_to_rgb(LABImage(L=l, A=a, B=b))
 
 
 def bessel_blur(src, radius: int, amount):

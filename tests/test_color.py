@@ -107,3 +107,29 @@ def test_luma_masks_normalized():
     np.testing.assert_allclose(
         np.asarray(low + mid + high), np.ones_like(l), atol=1e-5
     )
+
+
+def test_lab_roundtrip():
+    rgb = RNG.random((24, 24, 3)).astype(np.float32)
+    lab = color.rgb_to_lab(rgb)
+    back = np.asarray(color.lab_to_rgb(lab))
+    np.testing.assert_allclose(back, rgb, atol=2e-3)
+    # known values: pure white -> L=100, a=b=0
+    white = color.rgb_to_lab(np.ones((1, 1, 3), np.float32))
+    np.testing.assert_allclose(float(white.L[0, 0]), 100.0, atol=0.1)
+    np.testing.assert_allclose(float(white.A[0, 0]), 0.0, atol=0.1)
+    # mid grey ~ L=53.6
+    grey = color.rgb_to_lab(np.full((1, 1, 3), 0.5, np.float32))
+    np.testing.assert_allclose(float(grey.L[0, 0]), 53.39, atol=0.2)
+
+
+def test_grey_point_on_real_lab():
+    rgb = RNG.random((16, 16, 3)).astype(np.float32) * 0.8 + 0.1
+    lab = color.rgb_to_lab(rgb)
+    lab_np = color.LABImage(
+        L=np.asarray(lab.L), A=np.asarray(lab.A), B=np.asarray(lab.B)
+    )
+    out = color.grey_point(lab_np, 40.0)
+    rgb_out = np.asarray(color.lab_to_rgb(out))
+    assert rgb_out.shape == rgb.shape
+    assert np.isfinite(rgb_out).all()

@@ -83,3 +83,13 @@ def test_overlay_parity():
     np.testing.assert_allclose(
         np.asarray(filters.blending(up, lp, "overlay")), expected, rtol=1e-5
     )
+
+
+def test_bilateral_lab_denoises():
+    clean = np.clip(
+        np.kron(0.3 + 0.4 * RNG.random((4, 4, 3)), np.ones((8, 8, 1))), 0, 1
+    ).astype(np.float32)
+    noisy = np.clip(clean + RNG.normal(0, 0.03, clean.shape), 0, 1).astype(np.float32)
+    out = np.asarray(filters.bilateral_lab(noisy, 3, 5.0, 3.0))
+    assert out.shape == clean.shape
+    assert np.mean((out - clean) ** 2) < np.mean((noisy - clean) ** 2)

@@ -39,3 +39,43 @@ def test_pallas_bilateral_matches_scan():
     ref = bilateral_filter(src, 3, 0.1, 2.0)
     out = bilateral_pallas(src, 3, 0.1, 2.0, tile_h=16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_psf_gradient_matches_conv():
+    from ics_tpu.ops.conv import convolve_rgb
+    from ics_tpu.ops.pallas_correlate import correlate_psf_valid, psf_gradient
+    from ics_tpu.ops.psf import rotate_180
+
+    mk = 5
+    pad = mk // 2
+    m = 43
+    u = jnp.asarray(RNG.random((m + 2 * pad, m + 2 * pad, 3)), jnp.float32)
+    err = jnp.asarray(RNG.standard_normal((m, m, 3)), jnp.float32)
+
+    ref = convolve_rgb(rotate_180(u), err, mode="valid", method="fft")
+    got = psf_gradient(u, err, tile_h=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+    ref2 = convolve_rgb(u, err, mode="valid", method="fft")
+    got2 = correlate_psf_valid(u, err, tile_h=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-3)
+
+
+def test_solver_pallas_psf_grad_matches_conv_path():
+    from ics_tpu import richardson_lucy_MM
+    from ics_tpu.models.rl_mm import RLConfig
+    from ics_tpu.ops.windows import uniform_kernel
+
+    mk = 5
+    pad = mk // 2
+    m = 31
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(tau=0.0, iterations=3, step_factor=1e-3, lambd=1000.0, blind=True)
+    a = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+                           config=RLConfig(psf_grad="conv"), **kw)
+    b = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+                           config=RLConfig(psf_grad="pallas"), **kw)
+    np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-5)

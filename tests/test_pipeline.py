@@ -99,3 +99,42 @@ def test_deblur_module_preview(tmp_path):
     )
     # preview crops to the mask window
     assert out.shape[0] < 72 and out.shape[1] < 72
+
+
+def test_deblur_module_solver_variants(tmp_path):
+    pic8 = np.clip(
+        np.kron(0.3 + 0.5 * RNG.random((8, 8, 3)), np.ones((8, 8, 1))) * 255,
+        0, 255,
+    ).astype(np.uint8)
+    for solver in ("pam", "pd"):
+        out = deblur_module(
+            pic8, f"s-{solver}", None, 3, mask_size=25, iterations=3,
+            verbose=False, solver=solver,
+        )
+        assert out.shape == pic8.shape
+        assert np.isfinite(out).all()
+
+
+def test_deblur_module_records_trajectory():
+    from ics_tpu.models.rl_mm import RLConfig
+
+    pic8 = np.clip(
+        np.kron(0.3 + 0.5 * RNG.random((8, 8, 3)), np.ones((8, 8, 1))) * 255,
+        0, 255,
+    ).astype(np.uint8)
+    from ics_tpu import richardson_lucy_MM
+
+    pic = pic8.astype(np.float32) / 255.0
+    pad = 1
+    u = np.pad(pic, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    psf = np.full((3, 3, 3), 1 / 9, np.float32)
+    m = pic.shape[0]
+    res = richardson_lucy_MM(
+        pic, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, 0.0,
+        iterations=4, step_factor=1e-3, lambd=1000.0, blind=True,
+        config=RLConfig(record_metrics=True),
+    )
+    assert res.trajectory is not None
+    assert len(res.trajectory["M_r"]) == res.iterations
+    assert np.isfinite(res.trajectory["M_r"]).all()
+    assert np.isfinite(res.trajectory["Hu"]).all()

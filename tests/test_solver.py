@@ -108,3 +108,19 @@ def test_nonblind_deconvolution_improves_known_blur():
     err_before = np.mean((blurry - sharp_s) ** 2)
     err_after = np.mean((out - sharp_s) ** 2)
     assert err_after < err_before
+
+
+def test_ssim_parity_vs_oracle():
+    """BASELINE criterion: >= 0.999 SSIM vs the reference behavior (here the
+    NumPy oracle of the Cython solver) on a non-trivial blind run."""
+    from ics_tpu.utils.metrics import ssim
+
+    image, u, psf, pad = _problem(mk=5, m=63)
+    m = image.shape[0]
+    kw = dict(tau=0.0, iterations=10, step_factor=1e-3, lambd=1000.0, blind=True)
+    res = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw)
+    u_ref, psf_ref, *_ = rl_mm_oracle(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw
+    )
+    s = ssim(np.asarray(res.u), u_ref, data_range=1.0)
+    assert s >= 0.999, f"SSIM {s} < 0.999"
