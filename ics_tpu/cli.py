@@ -5,6 +5,8 @@ integration suite).
     python -m ics_tpu.cli deblur img/blured.jpg out/ --blur-width 7 \
         --mask 584 795 --tolerance 0.1 --iterations 200
     python -m ics_tpu.cli usm img/original.jpg out/ --radius 5 --amount 1.5
+    python -m ics_tpu.cli bilateral-lab img/DSC0001.jpg out/ --radius 5
+    python -m ics_tpu.cli tv-denoise img/DSC0001.jpg out/ --weight 0.1
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ def _cmd_deblur(args) -> int:
         preview=args.preview,
         mask_size=args.mask_size,
         iterations=args.iterations,
+        solver=args.solver,
     )
     return 0
 
@@ -80,6 +83,35 @@ def _cmd_bilateral(args) -> int:
     return 0
 
 
+def _cmd_bilateral_lab(args) -> int:
+    from ics_tpu.utils.filters import bilateral_lab
+    from ics_tpu.utils.io import load_image, save
+
+    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    out = np.asarray(
+        bilateral_lab(pic, args.radius, args.std_i, args.std_s,
+                      luminance_only=not args.all_channels)
+    )
+    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
+    name = os.path.splitext(os.path.basename(args.input))[0] + "-bilateral-lab"
+    os.makedirs(args.dest, exist_ok=True)
+    save(out, name, args.dest)
+    return 0
+
+
+def _cmd_tv_denoise(args) -> int:
+    from ics_tpu.models.tv_denoise import tv_denoise
+    from ics_tpu.utils.io import load_image, save
+
+    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    out = np.asarray(tv_denoise(pic, weight=args.weight, iterations=args.iterations))
+    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
+    name = os.path.splitext(os.path.basename(args.input))[0] + "-tv-denoise"
+    os.makedirs(args.dest, exist_ok=True)
+    save(out, name, args.dest)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ics_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -98,6 +130,7 @@ def main(argv=None) -> int:
     p.add_argument("--blur", default="static", choices=["static", "motion"])
     p.add_argument("--preview", action="store_true")
     p.add_argument("--iterations", type=int, default=200)
+    p.add_argument("--solver", default="mm", choices=["mm", "pam", "pd"])
     p.add_argument("--suffix", default="-deblurred")
     p.set_defaults(fn=_cmd_deblur)
 
@@ -110,13 +143,29 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="bessel", choices=["bessel", "gauss"])
     p.set_defaults(fn=_cmd_usm)
 
-    p = sub.add_parser("bilateral", help="bilateral denoise")
+    p = sub.add_parser("bilateral", help="bilateral denoise (RGB channels)")
     p.add_argument("input")
     p.add_argument("dest")
     p.add_argument("--radius", type=int, default=5)
     p.add_argument("--std-i", type=float, default=0.1)
     p.add_argument("--std-s", type=float, default=5.0)
     p.set_defaults(fn=_cmd_bilateral)
+
+    p = sub.add_parser("bilateral-lab", help="bilateral denoise in CIELAB")
+    p.add_argument("input")
+    p.add_argument("dest")
+    p.add_argument("--radius", type=int, default=5)
+    p.add_argument("--std-i", type=float, default=5.0)
+    p.add_argument("--std-s", type=float, default=5.0)
+    p.add_argument("--all-channels", action="store_true")
+    p.set_defaults(fn=_cmd_bilateral_lab)
+
+    p = sub.add_parser("tv-denoise", help="Chambolle TV denoise")
+    p.add_argument("input")
+    p.add_argument("dest")
+    p.add_argument("--weight", type=float, default=0.1)
+    p.add_argument("--iterations", type=int, default=50)
+    p.set_defaults(fn=_cmd_tv_denoise)
 
     args = parser.parse_args(argv)
     return args.fn(args)

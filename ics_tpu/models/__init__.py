@@ -5,6 +5,7 @@ from ics_tpu.models.rl_mm import RLConfig, RLResult, richardson_lucy_MM
 from ics_tpu.models.rl_pam import PAMConfig, richardson_lucy_PAM
 from ics_tpu.models.rl_pd import PDConfig, richardson_lucy_PD
 from ics_tpu.models.pipeline import build_pyramid, deblur_module, pad_image
+from ics_tpu.models.tv_denoise import tv_denoise
 from ics_tpu.models.checkpoint import (
     SolverCheckpoint,
     load_checkpoint,
@@ -22,6 +23,7 @@ __all__ = [
     "build_pyramid",
     "deblur_module",
     "pad_image",
+    "tv_denoise",
     "SolverCheckpoint",
     "load_checkpoint",
     "save_checkpoint",

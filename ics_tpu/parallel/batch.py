@@ -44,8 +44,11 @@ def batched_deconvolve(
 ):
     """Deconvolve a batch: images (B,M,N,3), us (B,uM,uN,3), psfs (B,MK,MK,3).
 
-    Returns (u_batch, psf_batch).  With ``mesh``, the batch axis is sharded
-    across devices (B must divide by the mesh size).
+    Returns (u_batch, psf_batch).  With a 1-D ``mesh``, the batch axis is
+    sharded across devices (B must divide by the mesh size).  With a 2-D
+    (batch, tile) mesh — e.g. ``make_mesh_2d(tile=4, batch=2)`` — each
+    image's rows additionally shard over the tile axis (row counts must then
+    divide by the tile size; GSPMD inserts the conv halo exchanges).
     """
     cfg = config or RLConfig()
     images = jnp.asarray(images, jnp.float32)
@@ -57,10 +60,23 @@ def batched_deconvolve(
     )
 
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(batch_axis))
-        images = jax.device_put(images, batch_sharding)
-        us = jax.device_put(us, batch_sharding)
-        psfs = jax.device_put(psfs, batch_sharding)
+        # 1-D mesh: shard the batch.  2-D (batch, tile) mesh: additionally
+        # shard each image's rows over the tile axis (BASELINE.json config 5
+        # — batched blind deconvolution of large images tiled across a mesh).
+        # Rows shard per-array only when divisible (u is 2·pad taller than
+        # the image); GSPMD reconciles the rest.
+        row_axis = next((a for a in mesh.axis_names if a != batch_axis), None)
+
+        def put(arr):
+            rows_ok = (
+                row_axis is not None and arr.shape[1] % mesh.shape[row_axis] == 0
+            )
+            spec = P(batch_axis, row_axis) if rows_ok else P(batch_axis)
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        images = put(images)
+        us = put(us)
+        psfs = jax.device_put(psfs, NamedSharding(mesh, P(batch_axis)))
 
     def one(image, u, psf, w):
         u_out, psf_out, *_ = _solve(

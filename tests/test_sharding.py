@@ -96,3 +96,33 @@ def test_batched_deconvolve_matches_loop():
         )
         np.testing.assert_allclose(u_b[i], np.asarray(single.u), atol=1e-5)
         np.testing.assert_allclose(psf_b[i], np.asarray(single.psf), atol=1e-6)
+
+
+def test_batched_tiled_2d_mesh():
+    """BASELINE config 5: batched deconvolution with images row-tiled over a
+    2-D (batch, tile) mesh."""
+    from ics_tpu.parallel.mesh import make_mesh_2d
+
+    mk = 3
+    pad = mk // 2
+    m = 16  # divisible by the tile axis (4)
+    b = 2
+    images = np.clip(RNG.random((b, m, m, 3)), 0.2, 0.8).astype(np.float32)
+    us = np.stack(
+        [np.pad(im, ((pad, pad), (pad, pad), (0, 0)), mode="edge") for im in images]
+    ).astype(np.float32)
+    psfs = np.stack([np.dstack([np.full((mk, mk), 1 / 9)] * 3)] * b).astype(np.float32)
+
+    mesh = make_mesh_2d(tile=4, batch=2)
+    u_b, psf_b = batched_deconvolve(
+        images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        iterations=2, blind=True, mesh=mesh,
+    )
+    u_b = np.asarray(u_b)
+    assert u_b.shape == images.shape
+    assert np.isfinite(u_b).all()
+    single = richardson_lucy_MM(
+        images[0], us[0], psfs[0], pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        tau=0.0, iterations=2, step_factor=1e-3, lambd=10000.0, blind=True,
+    )
+    np.testing.assert_allclose(u_b[0], np.asarray(single.u), atol=1e-5)

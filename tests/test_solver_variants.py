@@ -112,3 +112,52 @@ def test_pd_denoise_reduces_tv():
     tv_out, _ = tv_op(jnp.asarray(out), 1e-6)
     assert float(jnp.sum(tv_out)) < float(jnp.sum(tv_in))
     assert np.mean((out - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+
+def test_tv_denoise_chambolle():
+    from ics_tpu.models.tv_denoise import tv_denoise
+    from ics_tpu.ops.tv import tv_op
+    import jax.numpy as jnp
+
+    clean = np.kron(0.3 + 0.5 * RNG.random((4, 4)), np.ones((12, 12))).astype(
+        np.float32
+    )
+    noisy = (clean + RNG.normal(0, 0.08, clean.shape)).astype(np.float32)
+    out = np.asarray(tv_denoise(noisy, weight=0.15, iterations=80))
+    assert np.mean((out - clean) ** 2) < np.mean((noisy - clean) ** 2)
+    tv_in, _ = tv_op(jnp.asarray(noisy)[..., None], 1e-6)
+    tv_out, _ = tv_op(jnp.asarray(out)[..., None], 1e-6)
+    assert float(jnp.sum(tv_out)) < float(jnp.sum(tv_in))
+    # rgb path
+    rgb = RNG.random((20, 20, 3)).astype(np.float32)
+    out3 = np.asarray(tv_denoise(rgb, weight=0.1, iterations=20))
+    assert out3.shape == rgb.shape
+
+
+def test_tv_denoise_matches_skimage_formulation():
+    """Against a literal numpy transcription of Chambolle's iteration."""
+    from ics_tpu.models.tv_denoise import tv_denoise
+
+    f = RNG.random((15, 17)).astype(np.float64)
+    weight, n_iter, tau = 0.12, 30, 0.25
+
+    def np_grad(u):
+        dy = np.zeros_like(u); dy[:-1] = u[1:] - u[:-1]
+        dx = np.zeros_like(u); dx[:, :-1] = u[:, 1:] - u[:, :-1]
+        return dy, dx
+
+    def np_div(py, px):
+        dy = np.zeros_like(py); dy[0] = py[0]; dy[1:-1] = py[1:-1] - py[:-2]; dy[-1] = -py[-2]
+        dx = np.zeros_like(px); dx[:, 0] = px[:, 0]; dx[:, 1:-1] = px[:, 1:-1] - px[:, :-2]; dx[:, -1] = -px[:, -2]
+        return dy + dx
+
+    py = np.zeros_like(f); px = np.zeros_like(f)
+    for _ in range(n_iter):
+        gy, gx = np_grad(np_div(py, px) - f / weight)
+        mag = np.sqrt(gy**2 + gx**2)
+        py = (py + tau * gy) / (1 + tau * mag)
+        px = (px + tau * gx) / (1 + tau * mag)
+    expected = f - weight * np_div(py, px)
+
+    got = np.asarray(tv_denoise(f.astype(np.float32), weight, n_iter))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
