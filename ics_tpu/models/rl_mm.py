@@ -36,6 +36,7 @@ from jax import lax
 
 from ics_tpu.ops.conv import convolve_rgb, fft_autocorrelate_same
 from ics_tpu.ops.pallas_correlate import psf_gradient
+from ics_tpu.ops.pallas_solver import fits_vmem, inner_loop_pallas
 from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.reductions import whiteness_weights
 from ics_tpu.ops.tv import tv_op
@@ -61,6 +62,13 @@ class RLConfig:
     # on TPU; exact f32), 'conv' = generic convolution (portable; what the
     # sharded/batched wrappers use), 'auto' = pallas on TPU else conv.
     psf_grad: str = "auto"
+    # Inner-loop execution: 'xla' = lax.scan of XLA ops (the default — the
+    # loop runs ~0.4 ms/inner at mask sizes on v5e), 'pallas' = the whole
+    # 5-step minimization loop as one VMEM-resident kernel
+    # (ops/pallas_solver.py).  The pallas kernel is bit-verified against the
+    # XLA path but its fully-unrolled Mosaic program compiles for tens of
+    # minutes on this toolchain, so 'auto' currently resolves to 'xla'.
+    inner_loop: str = "auto"
     # Record per-outer-iteration metrics (M_r, Hu, varu) on-device and
     # return them in RLResult.trajectory — the structured replacement for
     # the reference's in-loop diagnostic prints (ref lib/deconvolution.pyx:
@@ -80,17 +88,46 @@ class RLConfig:
 
 @dataclasses.dataclass
 class RLResult:
+    """Solver result.  Scalar statistics live in ONE packed device array and
+    are fetched lazily on first access — every host<->device round trip costs
+    tens of milliseconds over a TPU tunnel, and the pipeline only needs the
+    image/PSF device arrays between pyramid levels."""
+
     u: jax.Array  # deconvolved image, cropped to (M, N, 3)
     psf: jax.Array  # (refined, if blind) PSF
     image: jax.Array  # the (possibly TV-denoised, if use_tv) observed image
-    iterations: int  # outer iterations actually run
-    converged: bool  # whiteness stopping criterion met
-    M_r: float  # final residual-whiteness metric
-    Hu: float  # final residual energy over the mask window
-    varu: float  # final variance of u over the mask window
+    stats: jax.Array  # device array [iterations, converged, M_r, Hu, varu]
     # per-outer-iteration (M_r, Hu, varu), length = iterations actually run;
-    # populated when RLConfig.record_metrics is set
+    # populated when RLConfig.record_metrics is set (fetches stats)
     trajectory: dict | None = None
+    _stats_host: "np.ndarray | None" = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def _fetch(self) -> np.ndarray:
+        if self._stats_host is None:
+            self._stats_host = np.asarray(self.stats)
+        return self._stats_host
+
+    @property
+    def iterations(self) -> int:  # outer iterations actually run
+        return int(self._fetch()[0])
+
+    @property
+    def converged(self) -> bool:  # whiteness stopping criterion met
+        return bool(self._fetch()[1])
+
+    @property
+    def M_r(self) -> float:  # final residual-whiteness metric
+        return float(self._fetch()[2])
+
+    @property
+    def Hu(self) -> float:  # final residual energy over the mask window
+        return float(self._fetch()[3])
+
+    @property
+    def varu(self) -> float:  # final variance of u over the mask window
+        return float(self._fetch()[4])
 
 
 def _per_channel_max(a: jax.Array) -> jax.Array:
@@ -115,6 +152,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "conv_method",
         "conv_precision",
         "psf_grad",
+        "inner_loop",
         "use_stopping",
         "record",
     ),
@@ -139,6 +177,7 @@ def _solve(
     conv_method,
     conv_precision="exact",
     psf_grad="auto",
+    inner_loop="auto",
     use_stopping=True,
     record=False,
 ):
@@ -147,16 +186,20 @@ def _solve(
     mk = psf.shape[0]
     pad = (u_m - m) // 2
     epsilon = _EPS_BLIND if blind else _EPS_NONBLIND
-    from jax import lax as _lax
-
     prec = (
-        _lax.Precision.HIGHEST if conv_precision == "exact" else _lax.Precision.DEFAULT
+        lax.Precision.HIGHEST if conv_precision == "exact" else lax.Precision.DEFAULT
     )
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
     if psf_grad == "auto":
         psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"
     else:
         psf_grad_method = psf_grad
+    if inner_loop == "auto":
+        inner_loop_method = "xla"  # see RLConfig.inner_loop
+    else:
+        inner_loop_method = inner_loop
+    if inner_loop_method == "pallas" and (use_tv or not fits_vmem(u_m, u_n)):
+        inner_loop_method = "xla"
     f32 = jnp.float32
 
     def inner_step(carry, _):
@@ -254,17 +297,26 @@ def _solve(
     def outer_body(state):
         u, image, psf, psf_rot, error, m_r, m_r_prev, it, stop, hist = state
 
-        ut = u
-        if use_tv:
-            tv_ut_l1, _ = tv_op(ut, epsilon, order=2, norm=1)
-            tv_ut_l2, _ = tv_op(ut, epsilon, order=2, norm=2)
+        if inner_loop_method == "pallas":
+            # the whole inner loop as one VMEM-resident kernel (parity mode;
+            # image is a no-op carry there)
+            u, psf, error = inner_loop_pallas(
+                u, image, psf,
+                step_factor=step_factor, lambd=lambd,
+                blind=blind, correlation=correlation,
+            )
         else:
-            # all-zero TV(ut): the as-checked-in state (ref :464-465 commented)
-            tv_ut_l1 = tv_ut_l2 = jnp.zeros((1, 1, 1), dtype=f32)
+            ut = u
+            if use_tv:
+                tv_ut_l1, _ = tv_op(ut, epsilon, order=2, norm=1)
+                tv_ut_l2, _ = tv_op(ut, epsilon, order=2, norm=2)
+            else:
+                # all-zero TV(ut): the as-checked-in state (ref :464-465)
+                tv_ut_l1 = tv_ut_l2 = jnp.zeros((1, 1, 1), dtype=f32)
 
-        carry = (u, image, psf, psf_rot, error, ut, tv_ut_l1, tv_ut_l2)
-        carry, _ = lax.scan(inner_step, carry, None, length=_INNER_ITER)
-        u, image, psf, psf_rot, error, _, _, _ = carry
+            carry = (u, image, psf, psf_rot, error, ut, tv_ut_l1, tv_ut_l2)
+            carry, _ = lax.scan(inner_step, carry, None, length=_INNER_ITER)
+            u, image, psf, psf_rot, error, _, _, _ = carry
 
         # Residual-whiteness convergence metric (Almeida & Figueiredo;
         # ref :620-654).  `error` is the state at the end of the inner loop:
@@ -341,7 +393,10 @@ def _solve(
     hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
 
     u_out = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3))  # ref :675
-    return u_out, psf, image, it, stop, m_r, hu, varu, hist
+    stats = jnp.stack(
+        [it.astype(f32), stop.astype(f32), m_r, hu, varu]
+    )
+    return u_out, psf, image, stats, hist
 
 
 def richardson_lucy_MM(
@@ -386,7 +441,7 @@ def richardson_lucy_MM(
     psf = jnp.asarray(psf, jnp.float32)
     weights = jnp.asarray(whiteness_weights(bottom - top, right - left))
 
-    u_out, psf_out, image_out, it, stop, m_r, hu, varu, hist = _solve(
+    u_out, psf_out, image_out, stats, hist = _solve(
         image,
         u,
         psf,
@@ -405,37 +460,31 @@ def richardson_lucy_MM(
         conv_method=cfg.conv_method,
         conv_precision=cfg.conv_precision,
         psf_grad=cfg.psf_grad,
+        inner_loop=cfg.inner_loop,
         record=cfg.record_metrics,
     )
-    it = int(it)
-    converged = bool(stop)
+    result = RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats)
+    if cfg.record_metrics:
+        result.trajectory = {
+            k: np.asarray(v)[: result.iterations] for k, v in hist.items()
+        }
     if verbose:
-        if converged:
-            print("Convergence after %i iterations." % it)
+        if result.converged:
+            print("Convergence after %i iterations." % result.iterations)
         else:
-            print("Did not converge after %i iterations. Don't use the result." % it)
+            print(
+                "Did not converge after %i iterations. Don't use the result."
+                % result.iterations
+            )
         print(
             "Stats : autocovariance = %.6f | lamdba = %.0f | residual = %.6f | variance/noise = %.6f"
             % (
-                1000 * float(m_r) / ((bottom - top) * (right - left) * 3),
+                1000 * result.M_r / ((bottom - top) * (right - left) * 3),
                 lambd,
-                float(hu),
-                float(varu),
+                result.Hu,
+                result.varu,
             )
         )
         if np.any(np.isnan(np.asarray(u_out))):
             print("has NaN after DoF correction")
-    trajectory = None
-    if cfg.record_metrics:
-        trajectory = {k: np.asarray(v)[:it] for k, v in hist.items()}
-    return RLResult(
-        u=u_out,
-        psf=psf_out,
-        image=image_out,
-        iterations=it,
-        converged=converged,
-        M_r=float(m_r),
-        Hu=float(hu),
-        varu=float(varu),
-        trajectory=trajectory,
-    )
+    return result

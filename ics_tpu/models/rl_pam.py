@@ -226,13 +226,13 @@ def richardson_lucy_PAM(
         correlation=bool(correlation),
         conv_method=cfg.conv_method,
     )
-    return RLResult(
-        u=u_out,
-        psf=psf_out,
-        image=image,
-        iterations=int(it),
-        converged=bool(stop),
-        M_r=float(m_r),
-        Hu=float(hu),
-        varu=float(varu),
+    stats = jnp.stack(
+        [
+            jnp.asarray(it, jnp.float32),
+            jnp.asarray(stop, jnp.float32),
+            jnp.asarray(m_r, jnp.float32),
+            jnp.asarray(hu, jnp.float32),
+            jnp.asarray(varu, jnp.float32),
+        ]
     )
+    return RLResult(u=u_out, psf=psf_out, image=image, stats=stats)

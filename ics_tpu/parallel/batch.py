@@ -97,6 +97,7 @@ def batched_deconvolve(
             use_tv=cfg.use_tv,
             conv_method=cfg.conv_method,
             psf_grad="conv",  # keep the vmapped path on plain XLA ops
+            inner_loop="xla",
             use_stopping=False,
         )
         return u_out, psf_out

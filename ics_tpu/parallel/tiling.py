@@ -133,18 +133,8 @@ def sharded_richardson_lucy(
             use_tv=cfg.use_tv,
             conv_method="direct",
             psf_grad="conv",  # pallas_call does not partition under GSPMD
+            inner_loop="xla",
         ),
     )
-    u_out, psf_out, image_out, it, stop, m_r, hu, varu, _ = run(
-        image, u, psf, weights
-    )
-    return RLResult(
-        u=u_out,
-        psf=psf_out,
-        image=image_out,
-        iterations=int(it),
-        converged=bool(stop),
-        M_r=float(m_r),
-        Hu=float(hu),
-        varu=float(varu),
-    )
+    u_out, psf_out, image_out, stats, _ = run(image, u, psf, weights)
+    return RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats)

@@ -79,3 +79,90 @@ def test_solver_pallas_psf_grad_matches_conv_path():
                            config=RLConfig(psf_grad="pallas"), **kw)
     np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-5)
+
+
+@pytest.mark.parametrize("blind", [False, True])
+def test_pallas_inner_loop_matches_xla(blind):
+    from ics_tpu.models.rl_mm import _solve
+    from ics_tpu.ops.pallas_solver import inner_loop_pallas
+    from ics_tpu.ops.reductions import whiteness_weights
+    from ics_tpu.ops.windows import uniform_kernel
+
+    mk = 5
+    pad = mk // 2
+    m = 31
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    w = jnp.asarray(whiteness_weights(m - 2 * pad - 2, m - 2 * pad - 2))
+
+    ref_u, ref_psf, *_ = _solve(
+        jnp.asarray(image), jnp.asarray(u), jnp.asarray(psf), w,
+        top=pad + 1, bottom=m - pad - 1, left=pad + 1, right=m - pad - 1,
+        tau=0.0, step_factor=1e-3, lambd=1000.0, iterations=1,
+        blind=blind, correlation=False, use_tv=False, conv_method="auto",
+        use_stopping=False,
+    )
+    u2, psf2, err = inner_loop_pallas(
+        jnp.asarray(u), jnp.asarray(image), jnp.asarray(psf),
+        step_factor=1e-3, lambd=1000.0, blind=blind, correlation=False,
+        interpret=True,
+    )
+    u2_crop = np.asarray(u2)[pad : pad + m, pad : pad + m]
+    # 5 iterations of different f32 summation order drift by a few e-6
+    np.testing.assert_allclose(u2_crop, np.asarray(ref_u), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(psf2), np.asarray(ref_psf), atol=1e-6)
+    assert np.isfinite(np.asarray(err)).all()
+
+
+def test_pallas_inner_loop_correlation_mode():
+    from ics_tpu.ops.pallas_solver import inner_loop_pallas
+    from ics_tpu.ops.windows import uniform_kernel
+
+    mk = 3
+    pad = 1
+    m = 17
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    _, psf2, _ = inner_loop_pallas(
+        jnp.asarray(u), jnp.asarray(image), jnp.asarray(psf),
+        step_factor=1e-3, lambd=1000.0, blind=True, correlation=True,
+        interpret=True,
+    )
+    p = np.asarray(psf2)
+    np.testing.assert_allclose(p[..., 0], p[..., 1])
+    np.testing.assert_allclose(p.sum(axis=(0, 1)), [1, 1, 1], rtol=1e-5)
+
+
+@pytest.mark.parametrize("blind", [False, True])
+def test_full_solver_with_pallas_inner_loop(blind):
+    """richardson_lucy_MM with the VMEM inner-loop kernel must match the XLA
+    path across multiple outer iterations including the whiteness stop."""
+    from ics_tpu import richardson_lucy_MM
+    from ics_tpu.models.rl_mm import RLConfig
+    from ics_tpu.ops.windows import uniform_kernel
+    import scipy.signal as sig
+    from ics_tpu.ops.windows import gaussian_kernel
+
+    mk = 5
+    pad = mk // 2
+    m = 31
+    base = RNG.random((m + 8, m + 8, 3)).astype(np.float32)
+    k = gaussian_kernel(7, 1.5)
+    smooth = np.stack(
+        [sig.convolve(base[..., c], k, mode="valid") for c in range(3)], axis=-1
+    )[:m, :m]
+    image = np.clip(smooth, 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(tau=0.0, iterations=4, step_factor=1e-3, lambd=1000.0, blind=blind)
+
+    a = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+                           config=RLConfig(inner_loop="xla"), **kw)
+    b = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+                           config=RLConfig(inner_loop="pallas"), **kw)
+    assert a.iterations == b.iterations
+    assert a.converged == b.converged
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-5)
