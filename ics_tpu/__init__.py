@@ -26,6 +26,9 @@ from ics_tpu.ops.windows import (
 from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.conv import convolve2d, convolve_rgb
 from ics_tpu.models.rl_mm import richardson_lucy_MM, RLConfig, RLResult
+from ics_tpu.models.rl_pam import richardson_lucy_PAM, PAMConfig
+from ics_tpu.models.rl_pd import richardson_lucy_PD, PDConfig
+from ics_tpu.models.tv_denoise import tv_denoise
 from ics_tpu.models.pipeline import deblur_module, build_pyramid, pad_image
 
 __version__ = "0.1.0"
@@ -44,6 +47,11 @@ __all__ = [
     "richardson_lucy_MM",
     "RLConfig",
     "RLResult",
+    "richardson_lucy_PAM",
+    "PAMConfig",
+    "richardson_lucy_PD",
+    "PDConfig",
+    "tv_denoise",
     "deblur_module",
     "build_pyramid",
     "pad_image",

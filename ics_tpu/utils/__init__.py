@@ -19,6 +19,7 @@ from ics_tpu.ops.windows import (
 from ics_tpu.utils.timing import timeit
 from ics_tpu.utils.filters import (
     bilateral_filter,
+    bilateral_lab,
     bessel_blur,
     gaussian_blur,
     USM,
@@ -27,10 +28,15 @@ from ics_tpu.utils.filters import (
 )
 from ics_tpu.utils.color import (
     Lagrange_interpolation,
+    LABImage,
     grey_point,
     auto_vibrance,
     divTV,
     gradTVEM,
+    rgb_to_lab,
+    lab_to_rgb,
+    rgb_to_hsv,
+    hsv_to_rgb,
 )
 from ics_tpu.utils.io import save, load_image, imread, imsave
 
@@ -44,12 +50,18 @@ __all__ = [
     "gaussian_weight",
     "timeit",
     "bilateral_filter",
+    "bilateral_lab",
     "bessel_blur",
     "gaussian_blur",
     "USM",
     "overlay",
     "blending",
     "Lagrange_interpolation",
+    "LABImage",
+    "rgb_to_lab",
+    "lab_to_rgb",
+    "rgb_to_hsv",
+    "hsv_to_rgb",
     "grey_point",
     "auto_vibrance",
     "divTV",
