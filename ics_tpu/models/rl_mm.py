@@ -58,6 +58,11 @@ class RLConfig:
     # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
     # throughput at a small accuracy cost; validate SSIM for your use.
     conv_precision: str = "exact"
+    # Compute dtype of the inner loop: 'float32' (reference parity) or
+    # 'bfloat16' (halves HBM traffic on large frames; the whiteness metric,
+    # step-size scalars and outputs stay float32).  Validate SSIM for your
+    # quality bar before using bfloat16 in production.
+    dtype: str = "float32"
     # Blind PSF-gradient path: 'pallas' = fused shifted-dot kernel (fastest
     # on TPU; exact f32), 'conv' = generic convolution (portable; what the
     # sharded/batched wrappers use), 'auto' = pallas on TPU else conv.
@@ -153,6 +158,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "conv_precision",
         "psf_grad",
         "inner_loop",
+        "dtype",
         "use_stopping",
         "record",
     ),
@@ -178,6 +184,7 @@ def _solve(
     conv_precision="exact",
     psf_grad="auto",
     inner_loop="auto",
+    dtype="float32",
     use_stopping=True,
     record=False,
 ):
@@ -201,6 +208,9 @@ def _solve(
     if inner_loop_method == "pallas" and (use_tv or not fits_vmem(u_m, u_n)):
         inner_loop_method = "xla"
     f32 = jnp.float32
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else f32
+    if compute_dtype != f32:
+        inner_loop_method = "xla"  # the VMEM kernel is f32-only
 
     def inner_step(carry, _):
         u, image, psf, psf_rot, error, ut, tv_ut_l1, tv_ut_l2 = carry
@@ -322,7 +332,7 @@ def _solve(
         # ref :620-654).  `error` is the state at the end of the inner loop:
         # post-DoF PSF residual when blind, the step-1 residual otherwise.
         if use_stopping:
-            patch = lax.slice(error, (top, left, 0), (bottom, right, 3))
+            patch = lax.slice(error, (top, left, 0), (bottom, right, 3)).astype(f32)
             test = (patch - jnp.mean(patch)) / jnp.std(patch)
             test = test / jnp.max(jnp.abs(test))
             ac = fft_autocorrelate_same(test)
@@ -360,8 +370,11 @@ def _solve(
         _, _, _, _, _, _, _, it, stop, _ = state
         return jnp.logical_and(it < iterations, jnp.logical_not(stop))
 
+    u = u.astype(compute_dtype)
+    image = image.astype(compute_dtype)
+    psf = psf.astype(compute_dtype)
     psf_rot0 = rotate_180(psf)  # ref :441
-    error0 = jnp.zeros((m, n, 3), dtype=f32)
+    error0 = jnp.zeros((m, n, 3), dtype=compute_dtype)
     hist_len = iterations if record else 1
     hist0 = {
         "M_r": jnp.zeros((hist_len,), f32),
@@ -387,16 +400,18 @@ def _solve(
     # Final stats over the mask window (ref :600-601)
     u_win = lax.slice(
         u, (top + pad, left + pad, 0), (bottom - pad, right - pad, 3)
-    )
+    ).astype(f32)
     varu = jnp.std(u_win) ** 2
-    err_win = lax.slice(error, (top, left, 0), (bottom, right, 3))
+    err_win = lax.slice(error, (top, left, 0), (bottom, right, 3)).astype(f32)
     hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
 
-    u_out = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3))  # ref :675
+    u_out = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3)).astype(
+        f32
+    )  # ref :675
     stats = jnp.stack(
-        [it.astype(f32), stop.astype(f32), m_r, hu, varu]
+        [it.astype(f32), stop.astype(f32), m_r.astype(f32), hu, varu]
     )
-    return u_out, psf, image, stats, hist
+    return u_out, psf.astype(f32), image.astype(f32), stats, hist
 
 
 def richardson_lucy_MM(
@@ -461,6 +476,7 @@ def richardson_lucy_MM(
         conv_precision=cfg.conv_precision,
         psf_grad=cfg.psf_grad,
         inner_loop=cfg.inner_loop,
+        dtype=cfg.dtype,
         record=cfg.record_metrics,
     )
     result = RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats)

@@ -136,14 +136,18 @@ def _conv_stencil(a: jax.Array, k: jax.Array, mode: str) -> jax.Array:
 
 
 def _conv_fft(a: jax.Array, k: jax.Array, mode: str, fast_len: bool) -> jax.Array:
-    """Batched FFT convolution. a: (C,H,W); k: (C,MK,NK)."""
+    """Batched FFT convolution. a: (C,H,W); k: (C,MK,NK).
+
+    FFTs run in float32 regardless of input dtype (XLA RFFT supports only
+    f32/f64); the result is cast back to the input dtype.
+    """
     _, m, n = a.shape
     _, mk, nk = k.shape
     mf, nf = m + mk - 1, n + nk - 1
     sm = _next_fast_len(mf) if fast_len else mf
     sn = _next_fast_len(nf) if fast_len else nf
-    fa = jnp.fft.rfft2(a, s=(sm, sn), axes=(-2, -1))
-    fk = jnp.fft.rfft2(k, s=(sm, sn), axes=(-2, -1))
+    fa = jnp.fft.rfft2(a.astype(jnp.float32), s=(sm, sn), axes=(-2, -1))
+    fk = jnp.fft.rfft2(k.astype(jnp.float32), s=(sm, sn), axes=(-2, -1))
     full = jnp.fft.irfft2(fa * fk, s=(sm, sn), axes=(-2, -1))[..., :mf, :nf]
     ym = _out_shape(m, mk, mode)
     xn = _out_shape(n, nk, mode)

@@ -123,3 +123,37 @@ def test_load_image_jpeg():
     arr = io.load_image("/root/reference/img/crop-blured.jpg")
     assert arr.ndim == 3 and arr.shape[2] == 3
     assert arr.dtype == np.uint8
+
+
+def test_big_endian_tiff_read(tmp_path):
+    """Read an MM (big-endian) TIFF written by hand."""
+    import struct
+
+    h, w = 3, 5
+    # note: arithmetic on a >u2 array promotes to native order, so cast last
+    data = (np.arange(h * w) * 1000).astype(">u2").reshape(h, w)
+    raw = data.tobytes()
+    # header + one IFD with the minimal tag set
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, h),
+    ]
+    ifd_off = 8
+    n = len(entries) + 2  # + strip offset/count
+    data_off = ifd_off + 2 + n * 12 + 4
+    entries.append((273, 4, 1, data_off))
+    entries.append((279, 4, 1, len(raw)))
+    entries.sort()
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    buf += struct.pack(">H", n)
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            buf += struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        else:
+            buf += struct.pack(">HHII", tag, typ, cnt, val)
+    buf += struct.pack(">I", 0)
+    buf += raw
+    p = tmp_path / "be.tif"
+    p.write_bytes(buf)
+    back = io.imread(str(p))
+    np.testing.assert_array_equal(back, data.astype("=u2"))

@@ -138,3 +138,20 @@ def test_deblur_module_records_trajectory():
     assert len(res.trajectory["M_r"]) == res.iterations
     assert np.isfinite(res.trajectory["M_r"]).all()
     assert np.isfinite(res.trajectory["Hu"]).all()
+
+
+def test_deblur_module_16bit_input(tmp_path):
+    """bits=16 path: uint16 TIFF in, 16-bit TIFF out (ref deconvolve.py:79,97)."""
+    pic16 = (
+        np.kron(0.3 + 0.5 * RNG.random((8, 8, 3)), np.ones((8, 8, 1))) * 65535
+    ).astype(np.uint16)
+    out = deblur_module(
+        pic16, "x16", str(tmp_path), 3, bits=16, mask_size=25, iterations=3,
+        verbose=False,
+    )
+    assert out.shape == pic16.shape
+    assert np.isfinite(out).all()
+    from ics_tpu.utils.io import imread
+
+    saved = imread(str(tmp_path / "x16.tif"))
+    assert saved.dtype == np.uint16

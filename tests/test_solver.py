@@ -124,3 +124,21 @@ def test_ssim_parity_vs_oracle():
     )
     s = ssim(np.asarray(res.u), u_ref, data_range=1.0)
     assert s >= 0.999, f"SSIM {s} < 0.999"
+
+
+def test_bfloat16_mode_close_to_f32():
+    from ics_tpu.utils.metrics import ssim
+
+    image, u, psf, pad = _problem(mk=5, m=63)
+    m = image.shape[0]
+    kw = dict(tau=0.0, iterations=6, step_factor=1e-3, lambd=1000.0, blind=True)
+    a = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw)
+    b = richardson_lucy_MM(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        config=RLConfig(dtype="bfloat16"), **kw
+    )
+    out_b = np.asarray(b.u)
+    assert out_b.dtype == np.float32
+    assert np.isfinite(out_b).all()
+    s = ssim(out_b, np.asarray(a.u), data_range=1.0)
+    assert s > 0.98, f"bf16 SSIM {s}"
