@@ -1,0 +1,61 @@
+"""Aux subsystems: checkpoint/resume and tracing (SURVEY.md §5)."""
+
+import io as _io
+
+import numpy as np
+
+from ics_tpu.models.checkpoint import (
+    SolverCheckpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ics_tpu.utils.trace import Tracer, block_and_time
+
+RNG = np.random.default_rng(51)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    psf = RNG.random((7, 7, 3)).astype(np.float32)
+    u = RNG.random((32, 32, 3)).astype(np.float32)
+    ck = SolverCheckpoint(psf=psf, u=u, blur_width=7, iterations_done=42,
+                          M_r=1.5e-4, phase="non-blind")
+    path = str(tmp_path / "state.npz")
+    save_checkpoint(path, ck)
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back.psf, psf)
+    np.testing.assert_array_equal(back.u, u)
+    assert back.blur_width == 7
+    assert back.iterations_done == 42
+    assert abs(back.M_r - 1.5e-4) < 1e-10
+    assert back.phase == "non-blind"
+
+
+def test_checkpoint_minimal(tmp_path):
+    ck = SolverCheckpoint(psf=RNG.random((3, 3, 3)).astype(np.float32))
+    path = str(tmp_path / "psf.npz")
+    save_checkpoint(path, ck)
+    back = load_checkpoint(path)
+    assert back.u is None
+    assert back.blur_width is None
+    assert back.phase == "blind"
+
+
+def test_tracer_accumulates():
+    tr = Tracer()
+    with tr.stage("a"):
+        pass
+    with tr.stage("a"):
+        pass
+    with tr.stage("b"):
+        pass
+    report = tr.report()
+    assert "a" in report and "(2×)" in report
+    assert "b" in report
+
+
+def test_block_and_time():
+    import jax.numpy as jnp
+
+    out, dt = block_and_time(lambda x: jnp.sum(x * 2), jnp.ones((8, 8)))
+    assert float(out) == 128.0
+    assert dt >= 0
