@@ -15,7 +15,6 @@ level shapes repeat across runs, so programs compile once.
 from __future__ import annotations
 
 import os
-from os.path import join
 
 import numpy as np
 

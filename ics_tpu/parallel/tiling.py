@@ -18,7 +18,6 @@ over the ``tile`` mesh axis.  Two mechanisms:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

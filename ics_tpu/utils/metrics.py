@@ -10,9 +10,7 @@ K1=0.01, K2=0.03).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["ssim", "psnr"]
 

@@ -1,6 +1,5 @@
 """Aux subsystems: checkpoint/resume and tracing (SURVEY.md §5)."""
 
-import io as _io
 
 import numpy as np
 

@@ -5,7 +5,6 @@ import colorsys
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ics_tpu.utils import color
 

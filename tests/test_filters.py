@@ -1,6 +1,5 @@
 """Filters vs scipy/NumPy references (ref lib/utils.py:173-300)."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.signal as sig

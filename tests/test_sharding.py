@@ -4,7 +4,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import scipy.signal as sig
 
 from ics_tpu import richardson_lucy_MM

@@ -1,7 +1,6 @@
 """RL-MM solver vs the clean-room NumPy oracle (tests/np_reference.py) of
 the reference's as-checked-in behavior (ref lib/deconvolution.pyx:341-675)."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -3,7 +3,6 @@ only TV-MM survives in its tree — SURVEY.md §2.4; PAM/PD rebuilt from the
 cited papers)."""
 
 import numpy as np
-import pytest
 import scipy.signal as sig
 
 from ics_tpu.models.rl_pam import PAMConfig, richardson_lucy_PAM
