@@ -211,6 +211,7 @@ def _solve(
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else f32
     if compute_dtype != f32:
         inner_loop_method = "xla"  # the VMEM kernel is f32-only
+        psf_grad_method = "conv"  # the DMA kernel's (8,128) alignment is f32
 
     def inner_step(carry, _):
         u, image, psf, psf_rot, error, ut, tv_ut_l1, tv_ut_l2 = carry

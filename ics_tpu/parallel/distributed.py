@@ -42,5 +42,7 @@ def local_batch_slice(batch_size: int) -> slice:
     n = jax.process_count()
     per = batch_size // n
     if batch_size % n:
-        raise ValueError(f"batch {batch_size} must divide process count {n}")
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by process count {n}"
+        )
     return slice(p * per, (p + 1) * per)
