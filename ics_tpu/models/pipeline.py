@@ -103,8 +103,11 @@ def deblur_module(
     def pad_edge(arr, spec):
         return jnp.pad(arr, (*spec, (0, 0)), mode="edge")
 
-    pic = np.ascontiguousarray(pic, dtype=np.float32)
-    pic = pad_image(pic, (1, 1))  # extra-pad for safety (ref :94)
+    # Upload the raw integer image once and preprocess on device — host
+    # NumPy pow/pad on a 20+ MB float image costs ~1 s per call on a weak
+    # host, and the raw upload is 4x smaller than float32.
+    pic = jnp.asarray(np.ascontiguousarray(pic)).astype(jnp.float32)
+    pic = pad_edge(pic, ((1, 1), (1, 1)))  # extra-pad for safety (ref :94)
 
     samples = 2**bits - 1
     pic = pic / samples
@@ -144,17 +147,16 @@ def deblur_module(
     # Odd-dimension padding (ref :163-175)
     odd_vert = odd_hor = False
     if pic.shape[0] % 2 == 0:
-        pic = pad_image(pic, ((1, 0), (0, 0)))
+        pic = pad_edge(pic, ((1, 0), (0, 0)))
         odd_vert = True
     if pic.shape[1] % 2 == 0:
-        pic = pad_image(pic, ((0, 0), (1, 0)))
+        pic = pad_edge(pic, ((0, 0), (1, 0)))
         odd_hor = True
 
     psf = jnp.asarray(np.dstack([uniform_kernel(blur_width)] * 3), jnp.float32)
 
     images, kernels = build_pyramid(blur_width, confidence)
 
-    pic = jnp.asarray(pic)  # single upload; the loop below stays on-device
     deblured_image = pic
     if solver == "mm":
         solver_fn = richardson_lucy_MM
