@@ -170,6 +170,15 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
             method = "fft"
     if method == "stencil":
         return _conv_stencil(a3, k3, mode)
+    if method == "pallas":
+        # banded-VMEM kernel: one HBM pass regardless of tap count (opt-in;
+        # see ops/pallas_conv.py for why it is not in 'auto' yet)
+        from ics_tpu.ops.pallas_conv import _conv_planar
+
+        return _conv_planar(
+            a3, k3, mode=mode, tile_h=128,
+            interpret=jax.default_backend() != "tpu",
+        )
     if method == "direct":
         return _conv_direct(a3, k3, mode, precision)
     if method == "fft":

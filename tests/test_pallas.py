@@ -166,3 +166,17 @@ def test_full_solver_with_pallas_inner_loop(blind):
     assert a.converged == b.converged
     np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-4)
     np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["valid", "same", "full"])
+def test_pallas_banded_conv_matches_scipy(mode):
+    import scipy.signal as sig
+
+    from ics_tpu.ops.pallas_conv import conv_rgb_pallas
+
+    a = RNG.standard_normal((47, 39, 3)).astype(np.float32)
+    k = RNG.standard_normal((7, 7, 3)).astype(np.float32)
+    out = np.asarray(conv_rgb_pallas(a, jnp.asarray(k), mode, tile_h=16, interpret=True))
+    for c in range(3):
+        ref = sig.convolve(a[..., c], k[..., c], mode=mode)
+        np.testing.assert_allclose(out[..., c], ref, atol=3e-4)
