@@ -141,3 +141,23 @@ def test_bfloat16_mode_close_to_f32():
     assert np.isfinite(out_b).all()
     s = ssim(out_b, np.asarray(a.u), data_range=1.0)
     assert s > 0.98, f"bf16 SSIM {s}"
+
+
+def test_whiteness_trajectory_matches_oracle():
+    """The full per-iteration M_r sequence must track the oracle — stronger
+    evidence than the final value alone (the stopping behavior depends on the
+    whole trajectory)."""
+    image, u, psf, pad = _problem(mk=5, m=47)
+    m = image.shape[0]
+    kw = dict(tau=0.0, iterations=6, step_factor=1e-3, lambd=1000.0, blind=True)
+    res = richardson_lucy_MM(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        config=RLConfig(record_metrics=True), **kw
+    )
+    _, _, traj_ref, it_ref, _ = rl_mm_oracle(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw
+    )
+    assert res.iterations == it_ref
+    got = res.trajectory["M_r"]
+    assert len(got) == len(traj_ref)
+    np.testing.assert_allclose(got, traj_ref, rtol=5e-3)
