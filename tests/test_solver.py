@@ -161,3 +161,36 @@ def test_whiteness_trajectory_matches_oracle():
     got = res.trajectory["M_r"]
     assert len(got) == len(traj_ref)
     np.testing.assert_allclose(got, traj_ref, rtol=5e-3)
+
+
+def test_ssim_parity_on_reference_fixture():
+    """Golden parity on a real reference photo crop (SURVEY §4): blind solve
+    on a crop of img/blured.jpg, >= 0.999 SSIM vs the NumPy oracle."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/img/blured.jpg"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not mounted")
+    from PIL import Image
+
+    from ics_tpu.utils.metrics import ssim
+
+    with Image.open(path) as im:
+        crop = np.asarray(im.crop((700, 500, 801, 601)), np.float32) / 255.0
+    crop = crop ** (1 / 2.2)
+    mk = 7
+    pad = mk // 2
+    m = crop.shape[0]
+    u = np.pad(crop, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(tau=0.0, iterations=8, step_factor=1e-3, lambd=10000.0, blind=True)
+
+    res = richardson_lucy_MM(crop, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw)
+    u_ref, psf_ref, *_ = rl_mm_oracle(
+        crop, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, **kw
+    )
+    s = ssim(np.asarray(res.u), u_ref, data_range=1.0)
+    assert s >= 0.999, f"SSIM {s} < 0.999 on real fixture"
+    np.testing.assert_allclose(np.asarray(res.psf), psf_ref, atol=1e-4)
