@@ -22,13 +22,16 @@ def _cmd_deblur(args) -> int:
     from ics_tpu import deblur_module
     from ics_tpu.utils.io import load_image
 
+    if args.blur_width is None and args.psf is None:
+        raise SystemExit("deblur: either --blur-width or --psf is required")
+
     pic = load_image(args.input)
     name = os.path.splitext(os.path.basename(args.input))[0] + args.suffix
     deblur_module(
         pic,
         name,
         args.dest,
-        args.blur_width,
+        args.blur_width if args.blur_width is not None else 3,
         confidence=args.confidence,
         tolerance=args.tolerance,
         quality=args.quality,
@@ -40,6 +43,8 @@ def _cmd_deblur(args) -> int:
         mask_size=args.mask_size,
         iterations=args.iterations,
         solver=args.solver,
+        psf_path=args.psf,
+        save_psf_path=args.save_psf,
     )
     return 0
 
@@ -119,7 +124,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("deblur", help="blind/non-blind RL-TV deconvolution")
     p.add_argument("input")
     p.add_argument("dest")
-    p.add_argument("--blur-width", type=int, required=True)
+    p.add_argument("--blur-width", type=int, default=None,
+                   help="PSF size (required unless --psf is given)")
+    p.add_argument("--psf", default=None, metavar="CKPT",
+                   help="load a stored PSF checkpoint and skip the blind "
+                        "phase (ref README.md:131-133 workflow)")
+    p.add_argument("--save-psf", default=None, metavar="CKPT",
+                   help="save the blind phase's estimated PSF checkpoint")
     p.add_argument("--confidence", type=float, default=10)
     p.add_argument("--tolerance", type=float, default=1)
     p.add_argument("--quality", default="normal",

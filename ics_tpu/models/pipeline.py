@@ -49,6 +49,27 @@ def build_pyramid(psf_size: int, lambd: float = 10.0):
     return images, kernels
 
 
+def _write_back(deblured_image, res, temp_top, temp_bottom, temp_left,
+                temp_right, pad):
+    """Write a mask-window solve back into the full frame.
+
+    The reference solver mutates the caller's array through a VIEW, so the
+    whole padded window — halo ring included — is written back, not just the
+    returned inner crop (ref deconvolve.py:277-288 passes a slice of
+    ``deblured_image`` into the in-place pyx solver, whose u updates span
+    u_M×u_N).  Solvers that expose ``u_full`` get exact parity; others fall
+    back to the inner box.
+    """
+    if getattr(res, "u_full", None) is not None:
+        return deblured_image.at[
+            temp_top - pad - 1 : temp_bottom + pad + 1,
+            temp_left - pad - 1 : temp_right + pad + 1,
+        ].set(res.u_full)
+    return deblured_image.at[
+        temp_top - 1 : temp_bottom + 1, temp_left - 1 : temp_right + 1
+    ].set(res.u)
+
+
 @timeit
 def deblur_module(
     pic,
@@ -74,6 +95,8 @@ def deblur_module(
     verbose: bool = True,
     resize_backend: str = "jax",
     solver: str = "mm",
+    psf_path: str | None = None,
+    save_psf_path: str | None = None,
 ) -> np.ndarray:
     """Blind deblurring API (parity: ref deconvolve.py:66-368).
 
@@ -86,6 +109,14 @@ def deblur_module(
 
     ``solver``: 'mm' (TV-MM, the reference's checked-in solver), 'pam'
     (TV-PAM) or 'pd' (TV-PD) — the three families of ref README.md:42-44.
+
+    ``psf_path`` / ``save_psf_path``: the PSF-reuse workflow the reference
+    README *describes* but never implemented (ref README.md:131-133 "saving
+    the PSF … to apply it on the other pictures").  ``save_psf_path`` writes
+    the blind phase's estimated PSF as a checkpoint the moment that phase
+    finishes; ``psf_path`` loads one, SKIPS the blind phase entirely and
+    runs only the non-blind pass with it (``blur_width`` is then taken from
+    the stored PSF and the passed value is ignored).
 
     The whole pyramid loop runs on device arrays — between levels nothing
     crosses host<->device except solver status scalars; the reference's
@@ -114,6 +145,22 @@ def deblur_module(
     pic = pic ** (1 / 2.2)  # undo gamma (ref :103)
 
     step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
+
+    loaded_psf = None
+    if psf_path is not None:
+        from ics_tpu.models.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(psf_path)
+        loaded_psf = np.asarray(ckpt.psf, np.float32)
+        if (
+            loaded_psf.ndim != 3
+            or loaded_psf.shape[0] != loaded_psf.shape[1]
+            or loaded_psf.shape[2] != 3
+        ):
+            raise ValueError(
+                f"stored PSF has shape {loaded_psf.shape}; expected (k, k, 3)"
+            )
+        blur_width = int(loaded_psf.shape[0])
 
     if blur_width < 3:
         raise ValueError("The blur width should be at least 3 pixels.")
@@ -153,7 +200,12 @@ def deblur_module(
         pic = pad_edge(pic, ((0, 0), (1, 0)))
         odd_hor = True
 
-    psf = jnp.asarray(np.dstack([uniform_kernel(blur_width)] * 3), jnp.float32)
+    if loaded_psf is not None:
+        psf = jnp.asarray(loaded_psf, jnp.float32)
+    else:
+        psf = jnp.asarray(
+            np.dstack([uniform_kernel(blur_width)] * 3), jnp.float32
+        )
 
     images, kernels = build_pyramid(blur_width, confidence)
 
@@ -176,8 +228,10 @@ def deblur_module(
     else:
         raise ValueError(f"unknown solver {solver!r} (use 'mm', 'pam' or 'pd')")
 
+    cases = ["non-blind"] if loaded_psf is not None else ["blind", "non-blind"]
+
     try:
-        for case in ["blind", "non-blind"]:
+        for case in cases:
             if verbose:
                 print("\n===== %s DECONVOLUTION =====" % case)
             deblured_image = pic
@@ -266,10 +320,10 @@ def deblur_module(
                         config=solver_cfg,
                         **({"verbose": verbose} if solver == "mm" else {}),
                     )
-                    deblured_image = deblured_image.at[
-                        temp_top - 1 : temp_bottom + 1,
-                        temp_left - 1 : temp_right + 1,
-                    ].set(res.u)
+                    deblured_image = _write_back(
+                        deblured_image, res, temp_top, temp_bottom,
+                        temp_left, temp_right, pad,
+                    )
                     psf = res.psf
                 elif preview:
                     res = solver_fn(
@@ -294,10 +348,10 @@ def deblur_module(
                         config=solver_cfg,
                         **({"verbose": verbose} if solver == "mm" else {}),
                     )
-                    deblured_image = deblured_image.at[
-                        temp_top - 1 : temp_bottom + 1,
-                        temp_left - 1 : temp_right + 1,
-                    ].set(res.u)
+                    deblured_image = _write_back(
+                        deblured_image, res, temp_top, temp_bottom,
+                        temp_left, temp_right, pad,
+                    )
                 else:
                     deblured_image = pad_edge(
                         deblured_image, ((pad, pad), (pad, pad))
@@ -323,6 +377,25 @@ def deblur_module(
                 # Strip the safety padding (ref :322-323)
                 temp_blurry_image = temp_blurry_image[1:-1, 1:-1, ...]
                 deblured_image = deblured_image[1:-1, 1:-1, ...]
+
+            if case == "blind" and save_psf_path is not None:
+                from ics_tpu.models.checkpoint import (
+                    SolverCheckpoint,
+                    save_checkpoint,
+                )
+
+                # Persist immediately after the blind phase so the estimate
+                # survives an interrupted non-blind pass.
+                save_checkpoint(
+                    save_psf_path,
+                    SolverCheckpoint(
+                        psf=np.asarray(psf),
+                        blur_width=blur_width,
+                        phase="blind",
+                    ),
+                )
+                if verbose:
+                    print("Saved estimated PSF to %s" % save_psf_path)
 
             if display and case == "blind":  # control preview (ref :331-336)
                 import matplotlib.pyplot as plt

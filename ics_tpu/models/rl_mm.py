@@ -102,6 +102,12 @@ class RLResult:
     psf: jax.Array  # (refined, if blind) PSF
     image: jax.Array  # the (possibly TV-denoised, if use_tv) observed image
     stats: jax.Array  # device array [iterations, converged, M_r, Hu, varu]
+    # Full solver window (M+2*pad, N+2*pad, 3) including the halo ring.  The
+    # reference mutates its caller's array through a view, so the blind
+    # phase's write-back covers the WHOLE window (ref deconvolve.py:277-288
+    # passing a slice of deblured_image into the in-place solver) — pipeline
+    # parity needs this, not just the cropped core.
+    u_full: jax.Array | None = None
     # per-outer-iteration (M_r, Hu, varu), length = iterations actually run;
     # populated when RLConfig.record_metrics is set (fetches stats)
     trajectory: dict | None = None
@@ -412,7 +418,7 @@ def _solve(
     stats = jnp.stack(
         [it.astype(f32), stop.astype(f32), m_r.astype(f32), hu, varu]
     )
-    return u_out, psf.astype(f32), image.astype(f32), stats, hist
+    return u_out, u.astype(f32), psf.astype(f32), image.astype(f32), stats, hist
 
 
 def richardson_lucy_MM(
@@ -457,7 +463,7 @@ def richardson_lucy_MM(
     psf = jnp.asarray(psf, jnp.float32)
     weights = jnp.asarray(whiteness_weights(bottom - top, right - left))
 
-    u_out, psf_out, image_out, stats, hist = _solve(
+    u_out, u_full, psf_out, image_out, stats, hist = _solve(
         image,
         u,
         psf,
@@ -480,7 +486,9 @@ def richardson_lucy_MM(
         dtype=cfg.dtype,
         record=cfg.record_metrics,
     )
-    result = RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats)
+    result = RLResult(
+        u=u_out, psf=psf_out, image=image_out, stats=stats, u_full=u_full
+    )
     if cfg.record_metrics:
         result.trajectory = {
             k: np.asarray(v)[: result.iterations] for k, v in hist.items()

@@ -79,7 +79,7 @@ def batched_deconvolve(
         psfs = jax.device_put(psfs, NamedSharding(mesh, P(batch_axis)))
 
     def one(image, u, psf, w):
-        u_out, psf_out, *_ = _solve(
+        u_out, _u_full, psf_out, *_ = _solve(
             image,
             u,
             psf,

@@ -135,5 +135,5 @@ def sharded_richardson_lucy(
             inner_loop="xla",
         ),
     )
-    u_out, psf_out, image_out, stats, _ = run(image, u, psf, weights)
-    return RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats)
+    u_out, u_full, psf_out, image_out, stats, _ = run(image, u, psf, weights)
+    return RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats, u_full=u_full)

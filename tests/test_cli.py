@@ -65,3 +65,40 @@ def test_cli_rejects_bad_args(small_image, tmp_path, capsys):
         main(["frobnicate", path, str(tmp_path)])
     with pytest.raises(ValueError, match="odd"):
         main(["deblur", path, str(tmp_path), "--blur-width", "4"])
+
+
+def test_cli_psf_save_and_reuse(small_image, tmp_path, capsys):
+    """Estimate a PSF on one shot, save it, then deblur reusing it with the
+    blind phase skipped — the ref README.md:131-133 workflow."""
+    path, arr = small_image
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "psf.npz")
+    assert main([
+        "deblur", path, dest, "--blur-width", "3", "--iterations", "3",
+        "--mask-size", "25", "--save-psf", ckpt,
+    ]) == 0
+    from ics_tpu.models.checkpoint import load_checkpoint
+
+    stored = load_checkpoint(ckpt)
+    assert stored.psf.shape == (3, 3, 3)
+    assert stored.blur_width == 3
+    capsys.readouterr()
+
+    dest2 = str(tmp_path / "out2")
+    assert main([
+        "deblur", path, dest2, "--iterations", "3", "--mask-size", "25",
+        "--psf", ckpt,
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "blind DECONVOLUTION" in printed
+    assert "BLIND DECONVOLUTION" not in printed.replace(
+        "NON-BLIND DECONVOLUTION", ""
+    )  # only the non-blind phase ran
+    out = imread(f"{dest2}/in-deblurred.tif")
+    assert out.shape == arr.shape and out.dtype == np.uint16
+
+
+def test_cli_deblur_requires_blur_width_or_psf(small_image, tmp_path):
+    path, _ = small_image
+    with pytest.raises(SystemExit):
+        main(["deblur", path, str(tmp_path / "out"), "--iterations", "2"])

@@ -96,7 +96,7 @@ def test_pallas_inner_loop_matches_xla(blind):
     psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
     w = jnp.asarray(whiteness_weights(m - 2 * pad - 2, m - 2 * pad - 2))
 
-    ref_u, ref_psf, *_ = _solve(
+    ref_u, _ref_u_full, ref_psf, *_ = _solve(
         jnp.asarray(image), jnp.asarray(u), jnp.asarray(psf), w,
         top=pad + 1, bottom=m - pad - 1, left=pad + 1, right=m - pad - 1,
         tau=0.0, step_factor=1e-3, lambd=1000.0, iterations=1,
