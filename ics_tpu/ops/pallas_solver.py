@@ -16,7 +16,7 @@ tests/test_pallas.py.  Only used when the problem fits comfortably in VMEM
 (see ``fits_vmem``); the XLA path remains the general case.
 
 Mosaic constraints shape the design:
-- channels are unrolled into per-channel 2-D (H, W) planes (rows on
+- channels are handled as per-channel 2-D (H, W) planes (rows on
   sublanes, cols on lanes) — a (3,1,1)x(3,H,W) broadcast hits the
   unimplemented "broadcast in both sublanes and lanes";
 - the PSF lives in SMEM and its taps are read as true scalars
@@ -24,8 +24,12 @@ Mosaic constraints shape the design:
 - reductions produce rank-0 scalars, PSF updates are scalar stores;
 - no value-level dynamic_update_slice — padded buffers are VMEM scratch
   written through static ref slices;
-- the PSF rot180 is never materialized: taps are unrolled, so rotation is
-  compile-time index flipping.
+- the PSF rot180 is never materialized: rotation is index flipping;
+- ALL loops (inner iterations, channels, tap rows, PSF taps) are
+  ``lax.fori_loop`` with ``pl.ds`` dynamic sublane starts and STATIC lane
+  offsets in the convs — the round-1 fully-unrolled version emitted a
+  Mosaic program so large it remote-compiled for >35 minutes; this one is
+  ~100x smaller and compiles in normal time.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,133 +57,183 @@ def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
     pad = (u_m - m) // 2
     inv_un = 1.0 / (u_m * u_n)
     C = 3
+    f32 = jnp.float32
 
     def kernel(u_ref, image_ref, psf_ref, sf_ref, lam_ref, u_out, psf_out,
-               err_out, ut_ref, epad_ref):
+               err_out, ut_ref, epad_ref, gradk_ref):
         # u (3, uM, uN) VMEM; image (3, M, N) VMEM; psf (3, mk, mk) SMEM;
         # sf/lam: (1, 1) SMEM scalars (gradient step factor, lambda).
+        # psf_out doubles as the WORKING psf (updated every blind inner
+        # iteration); gradk_ref is SMEM scratch for the PSF gradient taps.
         step_factor = sf_ref[0, 0]
         lambd = lam_ref[0, 0]
         ut_ref[...] = u_ref[...]
 
+        def psf_foreach(fn):
+            """fori over all (c, a, b) PSF taps."""
+
+            def body(t, carry):
+                c = t // (mk * mk)
+                r = t % (mk * mk)
+                return fn(c, r // mk, r % mk, carry)
+
+            return lambda init: lax.fori_loop(0, C * mk * mk, body, init)
+
+        psf_foreach(lambda c, a, b, _: (psf_out.__setitem__((c, a, b),
+                                                            psf_ref[c, a, b]), 0)[1])(0)
+
+        def _roll_up(a):
+            # shift rows up by one (static slices — Mosaic rejects dynamic
+            # sublane starts unless provably 8-aligned)
+            return jnp.concatenate([a[1:], a[:1]], axis=0)
+
         def conv_valid_residual(c):
-            """synth_c - image_c  (ref :477-488)."""
-            u_c = u_ref[c]
-            err = -image_ref[c]
-            for t1 in range(mk):
+            """synth_c - image_c  (ref :477-488).  Tap rows iterate a
+            fori_loop carrying a row-ROLLED copy of u (so at step t1 the
+            window u[t1:t1+m] is the STATIC slice rolled[0:m]); tap columns
+            are static lane offsets.  Wrapped rows are never read: max t1 is
+            mk-1 and rolled[0:m] = u[t1:t1+m] stays in bounds."""
+
+            def row(t1, carry):
+                rolled, err = carry
                 for t2 in range(mk):
-                    tap = psf_ref[c, mk - 1 - t1, mk - 1 - t2]
-                    err += u_c[t1 : t1 + m, t2 : t2 + n] * tap
+                    tap = psf_out[c, mk - 1 - t1, mk - 1 - t2]
+                    err = err + rolled[0:m, t2 : t2 + n] * tap
+                return _roll_up(rolled), err
+
+            _, err = lax.fori_loop(0, mk, row, (u_ref[c], -image_ref[c]))
             return err
 
-        for _ in range(_INNER_ITER):
+        def minimize_channel(c):
+            # 1. residual (ref :477-488)
+            error_c = conv_valid_residual(c)
+            err_out[c] = error_c
+
+            # 2. gradu = conv_full(error, rot180(psf)) (ref :490-491):
+            # gradu[k] = sum_t error[k-(mk-1)+t]*psf[t], via shifted
+            # windows of the zero-padded residual (VMEM scratch).
+            epad_ref[c] = jnp.zeros((u_m + mk - 1, u_n + mk - 1), f32)
+            epad_ref[c, mk - 1 : mk - 1 + m, mk - 1 : mk - 1 + n] = error_c
+
+            def row2(t1, carry):
+                rolled, g = carry
+                for t2 in range(mk):
+                    tap = psf_out[c, t1, t2]
+                    g = g + rolled[0:u_m, t2 : t2 + u_n] * tap
+                return _roll_up(rolled), g
+
+            _, gradu = lax.fori_loop(
+                0, mk, row2, (epad_ref[c], jnp.zeros((u_m, u_n), f32))
+            )
+
+            # 4. DoF mask from the raw correlation (ref :499-502)
+            image_c = image_ref[c]
+            gcrop = gradu[pad : pad + m, pad : pad + n]
+            dof = ((gcrop - image_c) / (gcrop + image_c)) ** 2
+            if not blind:
+                dof = dof / lambd
+
+            # 5. parity-mode regularization (ref :508-519, live branch)
+            u_c = u_ref[c]
+            greg = lambd * gradu + (u_c - ut_ref[c]) * 0.5
+
+            # 6. per-channel adaptive step + update (ref :522-531)
+            dt = step_factor * (jnp.max(u_c) + inv_un) / (
+                jnp.max(jnp.abs(greg)) + 1e-15
+            )
+            u_c = u_c - dt * greg
+
+            # 8. retain the blurry image where deblurring failed (ref :552)
+            blended = (
+                (1.0 - dof) * u_c[pad : pad + m, pad : pad + n] + dof * image_c
+            )
+            u_ref[c] = u_c
+            u_ref[c, pad : pad + m, pad : pad + n] = blended
+
+        def refine_psf():
+            """9. blind PSF refinement (ref :555-589)."""
+
+            # post-update residual, reused for the whiteness metric
             for c in range(C):
-                # 1. residual (ref :477-488)
-                error_c = conv_valid_residual(c)
-                err_out[c] = error_c
+                err_out[c] = conv_valid_residual(c)
 
-                # 2. gradu = conv_full(error, rot180(psf)) (ref :490-491):
-                # gradu[k] = sum_t error[k-(mk-1)+t]*psf[t], via shifted
-                # windows of the zero-padded residual (VMEM scratch).
-                epad_ref[c] = jnp.zeros(
-                    (u_m + mk - 1, u_n + mk - 1), error_c.dtype
-                )
-                epad_ref[c, mk - 1 : mk - 1 + m, mk - 1 : mk - 1 + n] = error_c
-                epad_c = epad_ref[c]
-                gradu = jnp.zeros((u_m, u_n), error_c.dtype)
-                for t1 in range(mk):
+            # gradk = conv_valid(rot180(u), error) = rot180(corr(u, err)):
+            # one scalar dot per (channel, tap).  Rows via the same rolled-u
+            # fori trick (t1 = row shift, tap row index a = mk-1-t1, both
+            # flips pre-applied); SMEM stores take dynamic indices fine.
+            def gradk_channel(c):
+                err_c = err_out[c]
+
+                def row(t1, carry):
+                    rolled, gk_max = carry
                     for t2 in range(mk):
-                        tap = psf_ref[c, t1, t2]
-                        gradu += epad_c[t1 : t1 + u_m, t2 : t2 + u_n] * tap
+                        g = jnp.sum(rolled[0:m, t2 : t2 + n] * err_c)
+                        gradk_ref[c, mk - 1 - t1, mk - 1 - t2] = g
+                        gk_max = jnp.maximum(gk_max, jnp.abs(g))
+                    return _roll_up(rolled), gk_max
 
-                # 4. DoF mask from the raw correlation (ref :499-502)
-                image_c = image_ref[c]
-                gcrop = gradu[pad : pad + m, pad : pad + n]
-                dof = ((gcrop - image_c) / (gcrop + image_c)) ** 2
-                if not blind:
-                    dof = dof / lambd
+                return lax.fori_loop(0, mk, row, (u_ref[c], f32(0.0)))[1]
 
-                # 5. parity-mode regularization (ref :508-519, live branch)
-                u_c = u_ref[c]
-                greg = lambd * gradu + (u_c - ut_ref[c]) * 0.5
+            gk_max = f32(0.0)
+            for c in range(C):
+                gk_max = jnp.maximum(gk_max, gradk_channel(c))
 
-                # 6. per-channel adaptive step + update (ref :522-531)
-                dt = step_factor * (jnp.max(u_c) + inv_un) / (
-                    jnp.max(jnp.abs(greg)) + 1e-15
-                )
-                u_c = u_c - dt * greg
+            k_max = psf_foreach(
+                lambda c, a, b, cur: jnp.maximum(cur, psf_out[c, a, b])
+            )(f32(-3.4e38))
+            dtpsf = (step_factor / mk) * (k_max + inv_un / C) / (gk_max + 1e-15)
 
-                # 8. retain the blurry image where deblurring failed (ref :552)
-                blended = (
-                    (1.0 - dof) * u_c[pad : pad + m, pad : pad + n]
-                    + dof * image_c
-                )
-                u_ref[c] = u_c
-                u_ref[c, pad : pad + m, pad : pad + n] = blended
+            # gradient step (ref :577-581), through the working SMEM psf
+            psf_foreach(
+                lambda c, a, b, _: (
+                    psf_out.__setitem__(
+                        (c, a, b), psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b]
+                    ),
+                    0,
+                )[1]
+            )(0)
 
-            # 9. blind PSF refinement (ref :555-589)
+            if correlation:  # tie channels (ref :584-585)
+                def tie(r, _):
+                    a, b = r // mk, r % mk
+                    mean = (
+                        psf_out[0, a, b] + psf_out[1, a, b] + psf_out[2, a, b]
+                    ) / 3.0
+                    for c in range(C):
+                        psf_out[c, a, b] = mean
+                    return 0
+
+                lax.fori_loop(0, mk * mk, tie, 0)
+
+            # clamp + per-channel normalization (ref :47-70)
+            def norm_chan(c, _):
+                def clamp_sum(r, tot):
+                    a, b = r // mk, r % mk
+                    v = jnp.maximum(psf_out[c, a, b], 0.0)
+                    psf_out[c, a, b] = v
+                    return tot + v
+
+                total = lax.fori_loop(0, mk * mk, clamp_sum, f32(0.0))
+
+                def divide(r, _):
+                    a, b = r // mk, r % mk
+                    psf_out[c, a, b] = psf_out[c, a, b] / total
+                    return 0
+
+                lax.fori_loop(0, mk * mk, divide, 0)
+                return 0
+
+            lax.fori_loop(0, C, norm_chan, 0)
+
+        def inner_iteration(_, carry):
+            for c in range(C):
+                minimize_channel(c)
             if blind:
-                # post-update residual, reused for the whiteness metric
-                for c in range(C):
-                    err_out[c] = conv_valid_residual(c)
+                refine_psf()
+            return carry
 
-                # gradk = conv_valid(rot180(u), error) = rot180(corr(u, err)):
-                # one scalar dot per (channel, tap), indices pre-flipped.
-                gradk = {}
-                gk_max = None
-                k_max = None
-                for c in range(C):
-                    u_c = u_ref[c]
-                    err_c = err_out[c]
-                    for a in range(mk):
-                        for b in range(mk):
-                            t1, t2 = mk - 1 - a, mk - 1 - b
-                            g = jnp.sum(u_c[t1 : t1 + m, t2 : t2 + n] * err_c)
-                            gradk[(c, a, b)] = g
-                            ag = jnp.abs(g)
-                            gk_max = (
-                                ag if gk_max is None else jnp.maximum(gk_max, ag)
-                            )
-                            kv = psf_ref[c, a, b]
-                            k_max = (
-                                kv if k_max is None else jnp.maximum(k_max, kv)
-                            )
-
-                dtpsf = (
-                    (step_factor / mk) * (k_max + inv_un / C) / (gk_max + 1e-15)
-                )
-
-                new_psf = {
-                    key: psf_ref[key[0], key[1], key[2]] - dtpsf * g
-                    for key, g in gradk.items()
-                }
-                if correlation:  # tie channels (ref :584-585)
-                    for a in range(mk):
-                        for b in range(mk):
-                            mean = (
-                                new_psf[(0, a, b)]
-                                + new_psf[(1, a, b)]
-                                + new_psf[(2, a, b)]
-                            ) / 3.0
-                            for c in range(C):
-                                new_psf[(c, a, b)] = mean
-                # clamp + per-channel normalization (ref :47-70)
-                for c in range(C):
-                    total = None
-                    for a in range(mk):
-                        for b in range(mk):
-                            v = jnp.maximum(new_psf[(c, a, b)], 0.0)
-                            new_psf[(c, a, b)] = v
-                            total = v if total is None else total + v
-                    for a in range(mk):
-                        for b in range(mk):
-                            psf_ref[c, a, b] = new_psf[(c, a, b)] / total
-
+        lax.fori_loop(0, _INNER_ITER, inner_iteration, 0)
         u_out[...] = u_ref[...]
-        for c in range(C):
-            for a in range(mk):
-                for b in range(mk):
-                    psf_out[c, a, b] = psf_ref[c, a, b]
 
     return kernel
 
@@ -210,6 +265,7 @@ def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation, interp
         scratch_shapes=[
             pltpu.VMEM(u.shape, u.dtype),
             pltpu.VMEM((3, u_m + mk - 1, u_n + mk - 1), u.dtype),
+            pltpu.SMEM((3, mk, mk), u.dtype),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,

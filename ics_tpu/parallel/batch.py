@@ -6,10 +6,13 @@ deconvolution of 24 MP images across a v5e mesh.  This vmaps the solver over
 a leading batch axis and shards that axis over the mesh — pure data
 parallelism, DCN-friendly across hosts, no cross-image communication.
 
-The batched path runs a fixed iteration count (the residual-whiteness stop
-is per-image data-dependent; under vmap every lane would keep stepping until
-the *last* lane converges, silently changing results — so it is disabled
-here and the iteration budget is explicit).
+Per-image stopping IS preserved under vmap: the residual-whiteness stop
+lives in the ``lax.while_loop`` carry, and JAX's while_loop batching rule
+runs the body while ANY lane wants to continue but freezes finished lanes'
+carries with a per-lane select — so each lane's result (including its
+iteration count and M_r statistics) equals an independent solve.  Converged
+lanes burn idle FLOPs until the slowest lane finishes, but never change
+value.  Set ``use_stopping=False`` for a fixed, perfectly balanced budget.
 """
 
 from __future__ import annotations
@@ -38,17 +41,23 @@ def batched_deconvolve(
     lambd: float = 10000.0,
     blind: bool = True,
     correlation: bool = False,
+    tau: float = 0.0,
+    use_stopping: bool = True,
     config: RLConfig | None = None,
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
 ):
     """Deconvolve a batch: images (B,M,N,3), us (B,uM,uN,3), psfs (B,MK,MK,3).
 
-    Returns (u_batch, psf_batch).  With a 1-D ``mesh``, the batch axis is
-    sharded across devices (B must divide by the mesh size).  With a 2-D
-    (batch, tile) mesh — e.g. ``make_mesh_2d(tile=4, batch=2)`` — each
-    image's rows additionally shard over the tile axis (row counts must then
-    divide by the tile size; GSPMD inserts the conv halo exchanges).
+    Returns (u_batch, psf_batch, stats_batch); ``stats_batch[b]`` is the
+    per-lane [iterations, converged, M_r, Hu, varu] vector — with
+    ``use_stopping`` each lane stops on ITS OWN residual-whiteness criterion
+    (ref lib/deconvolution.pyx:643-654 semantics per image).  With a 1-D
+    ``mesh``, the batch axis is sharded across devices (B must divide by the
+    mesh size).  With a 2-D (batch, tile) mesh — e.g.
+    ``make_mesh_2d(tile=4, batch=2)`` — each image's rows additionally shard
+    over the tile axis (row counts must then divide by the tile size; GSPMD
+    inserts the conv halo exchanges).
     """
     cfg = config or RLConfig()
     images = jnp.asarray(images, jnp.float32)
@@ -79,7 +88,7 @@ def batched_deconvolve(
         psfs = jax.device_put(psfs, NamedSharding(mesh, P(batch_axis)))
 
     def one(image, u, psf, w):
-        u_out, _u_full, psf_out, *_ = _solve(
+        u_out, _u_full, psf_out, _image_out, stats, _hist = _solve(
             image,
             u,
             psf,
@@ -88,7 +97,7 @@ def batched_deconvolve(
             bottom=bottom,
             left=left,
             right=right,
-            tau=0.0,
+            tau=tau,
             step_factor=step_factor,
             lambd=lambd,
             iterations=iterations,
@@ -98,8 +107,8 @@ def batched_deconvolve(
             conv_method=cfg.conv_method,
             psf_grad="conv",  # keep the vmapped path on plain XLA ops
             inner_loop="xla",
-            use_stopping=False,
+            use_stopping=use_stopping,
         )
-        return u_out, psf_out
+        return u_out, psf_out, stats
 
     return jax.vmap(one)(images, us, psfs, weights)

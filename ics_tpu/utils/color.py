@@ -134,33 +134,84 @@ class LABImage:
     B: np.ndarray
 
 
+def _lagrange3_eval(xs, ys, x):
+    """Evaluate the quadratic through three (x, y) points at ``x`` — the jnp
+    equivalent of the reference's sympy→lambdify detour (ref lib/utils.py:
+    45-82).  ``xs``/``ys`` entries may be traced scalars."""
+    x = jnp.asarray(x)
+    total = jnp.zeros_like(x)
+    for i in range(3):
+        term = jnp.ones_like(x) * ys[i]
+        for j in range(3):
+            if j != i:
+                term = term * (x - xs[j]) / (xs[i] - xs[j])
+        total = total + term
+    return total
+
+
 def grey_point(src: LABImage, amount: float) -> LABImage:
     """Shift the grey point via the ratio of two Lagrange curves on L
-    (parity: ref lib/utils.py:85-113)."""
-    set1 = np.array([[0, 1], [amount, amount], [100, 100]], dtype=np.float64)
-    set2 = np.array(
-        [[0, 1], [np.mean(src.L), amount], [100, 100]], dtype=np.float64
-    )
-    _, y1 = Lagrange_interpolation(set1, src.L)
-    _, y2 = Lagrange_interpolation(set2, src.L)
+    (parity: ref lib/utils.py:85-113).  Fully on-device (jittable): the
+    curves are evaluated with jnp Horner/barycentric math instead of
+    host-side ``np.poly1d``."""
+    L = jnp.asarray(src.L)
+    y1 = _lagrange3_eval([0.0, amount, 100.0], [1.0, amount, 100.0], L)
+    y2 = _lagrange3_eval([0.0, jnp.mean(L), 100.0], [1.0, amount, 100.0], L)
     ratio = y2 / y1
-    return LABImage(L=src.L * ratio, A=src.A * ratio, B=src.B * ratio)
+    return LABImage(
+        L=L * ratio, A=jnp.asarray(src.A) * ratio, B=jnp.asarray(src.B) * ratio
+    )
+
+
+# auto_vibrance's two smoothing splines are fixed curves (constant data,
+# ref lib/utils.py:116-131) — fit them ONCE on host at first use, then
+# evaluate the piecewise cubics on device.
+_VIBRANCE_X = np.array([-100, -50, -20, 0, 20, 50, 100], dtype=np.float64)
+_VIBRANCE_Y1 = np.array([100, 45, 19, 1, 19, 45, 100], dtype=np.float64)
+_VIBRANCE_Y2 = np.array([100, 50, 20, 1, 20, 50, 100], dtype=np.float64)
+_VIBRANCE_PP = None
+
+
+def _vibrance_ppolys():
+    global _VIBRANCE_PP
+    if _VIBRANCE_PP is None:
+        from scipy import interpolate
+
+        pps = []
+        for y in (_VIBRANCE_Y1, _VIBRANCE_Y2):
+            spl = interpolate.UnivariateSpline(_VIBRANCE_X, y)
+            pp = interpolate.PPoly.from_spline(spl._eval_args)
+            pps.append((np.asarray(pp.x), np.asarray(pp.c)))
+        _VIBRANCE_PP = tuple(pps)
+    return _VIBRANCE_PP
+
+
+def _ppoly_eval(breaks, coefs, x):
+    """Vectorized piecewise-polynomial evaluation (scipy PPoly semantics,
+    end-segment extrapolation) in jnp."""
+    breaks = jnp.asarray(breaks, jnp.float32)
+    coefs = jnp.asarray(coefs, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    nseg = coefs.shape[1]
+    idx = jnp.clip(jnp.searchsorted(breaks, x, side="right") - 1, 0, nseg - 1)
+    t = x - breaks[idx]
+    res = coefs[0, idx]
+    for k in range(1, coefs.shape[0]):
+        res = res * t + coefs[k, idx]
+    return res
 
 
 def auto_vibrance(src: LABImage) -> LABImage:
     """Saturation boost preserving skin tones via a spline ratio
-    (parity: ref lib/utils.py:116-131)."""
-    from scipy import interpolate
-
-    x = np.array([-100, -50, -20, 0, 20, 50, 100], dtype=np.float64)
-    y1 = np.array([100, 45, 19, 1, 19, 45, 100], dtype=np.float64)
-    y2 = np.array([100, 50, 20, 1, 20, 50, 100], dtype=np.float64)
-    s1 = interpolate.UnivariateSpline(x, y1)
-    s2 = interpolate.UnivariateSpline(x, y2)
+    (parity: ref lib/utils.py:116-131).  The splines are fitted once on the
+    host (their data is constant); per-pixel evaluation is on-device jnp."""
+    (x1, c1), (x2, c2) = _vibrance_ppolys()
+    A = jnp.asarray(src.A)
+    B = jnp.asarray(src.B)
     return LABImage(
         L=src.L,
-        A=src.A * s2(src.A) / s1(src.A),
-        B=src.B * s2(src.B) / s1(src.B),
+        A=A * _ppoly_eval(x2, c2, A) / _ppoly_eval(x1, c1, A),
+        B=B * _ppoly_eval(x2, c2, B) / _ppoly_eval(x1, c1, B),
     )
 
 

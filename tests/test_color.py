@@ -132,3 +132,61 @@ def test_grey_point_on_real_lab():
     rgb_out = np.asarray(color.lab_to_rgb(out))
     assert rgb_out.shape == rgb.shape
     assert np.isfinite(rgb_out).all()
+
+
+def test_grey_point_matches_host_poly1d_formulation():
+    """The on-device Lagrange path must equal the reference's host-side
+    np.poly1d evaluation (ref lib/utils.py:85-113)."""
+    rng = np.random.default_rng(11)
+    L = (rng.random((31, 29)) * 100).astype(np.float32)
+    A = (rng.random((31, 29)) * 60 - 30).astype(np.float32)
+    B = (rng.random((31, 29)) * 60 - 30).astype(np.float32)
+    amount = 42.0
+    set1 = np.array([[0, 1], [amount, amount], [100, 100]], np.float64)
+    set2 = np.array([[0, 1], [np.mean(L), amount], [100, 100]], np.float64)
+    _, y1 = color.Lagrange_interpolation(set1, L)
+    _, y2 = color.Lagrange_interpolation(set2, L)
+    ratio = y2 / y1
+    out = color.grey_point(color.LABImage(L=L, A=A, B=B), amount)
+    np.testing.assert_allclose(np.asarray(out.L), L * ratio, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.A), A * ratio, rtol=2e-4, atol=1e-4)
+
+
+def test_auto_vibrance_matches_host_spline():
+    """The on-device piecewise-cubic evaluation must equal scipy's
+    UnivariateSpline (incl. extrapolation beyond +-100)."""
+    from scipy import interpolate
+
+    x = np.array([-100, -50, -20, 0, 20, 50, 100], np.float64)
+    y1 = np.array([100, 45, 19, 1, 19, 45, 100], np.float64)
+    y2 = np.array([100, 50, 20, 1, 20, 50, 100], np.float64)
+    s1 = interpolate.UnivariateSpline(x, y1)
+    s2 = interpolate.UnivariateSpline(x, y2)
+    A = np.linspace(-120, 120, 241).astype(np.float32)
+    src = color.LABImage(L=np.zeros_like(A), A=A, B=A[::-1].copy())
+    out = color.auto_vibrance(src)
+    np.testing.assert_allclose(
+        np.asarray(out.A), A * s2(A) / s1(A), rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.B), A[::-1] * s2(A[::-1]) / s1(A[::-1]), rtol=2e-4, atol=1e-4
+    )
+
+
+def test_color_tone_ops_are_jittable():
+    import jax
+
+    rng = np.random.default_rng(3)
+    L = (rng.random((17, 19)) * 100).astype(np.float32)
+    A = (rng.random((17, 19)) * 50 - 25).astype(np.float32)
+    src = color.LABImage(L=L, A=A, B=A)
+
+    @jax.jit
+    def pipeline(L, A, B):
+        out = color.grey_point(color.LABImage(L=L, A=A, B=B), 40.0)
+        out = color.auto_vibrance(out)
+        return out.L, out.A, out.B
+
+    outs = pipeline(L, A, A)
+    eager = color.auto_vibrance(color.grey_point(src, 40.0))
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(eager.A), rtol=1e-5)

@@ -81,7 +81,7 @@ def test_batched_deconvolve_matches_loop():
     from ics_tpu.parallel.mesh import BATCH_AXIS
 
     mesh = make_mesh(8, axis_name=BATCH_AXIS)
-    u_b, psf_b = batched_deconvolve(
+    u_b, psf_b, _stats_b = batched_deconvolve(
         images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
         iterations=2, step_factor=1e-3, lambd=1000.0, blind=True, mesh=mesh,
     )
@@ -113,7 +113,7 @@ def test_batched_tiled_2d_mesh():
     psfs = np.stack([np.dstack([np.full((mk, mk), 1 / 9)] * 3)] * b).astype(np.float32)
 
     mesh = make_mesh_2d(tile=4, batch=2)
-    u_b, psf_b = batched_deconvolve(
+    u_b, psf_b, _stats_b = batched_deconvolve(
         images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
         iterations=2, blind=True, mesh=mesh,
     )
@@ -125,3 +125,47 @@ def test_batched_tiled_2d_mesh():
         tau=0.0, iterations=2, step_factor=1e-3, lambd=10000.0, blind=True,
     )
     np.testing.assert_allclose(u_b[0], np.asarray(single.u), atol=1e-5)
+
+
+def test_batched_per_lane_stopping():
+    """Each lane stops on ITS OWN whiteness criterion (ref pyx:643-654 per
+    image): a batch solve with stopping equals N independent solves with
+    stopping, including per-lane iteration counts."""
+    mk = 3
+    pad = mk // 2
+    m = 17
+    b = 4
+    # Lanes with very different content so they converge at different times.
+    images = np.stack(
+        [
+            np.clip(RNG.random((m, m, 3)) * (0.2 + 0.25 * i), 0.02, 0.98)
+            for i in range(b)
+        ]
+    ).astype(np.float32)
+    us = np.stack(
+        [np.pad(im, ((pad, pad), (pad, pad), (0, 0)), mode="edge") for im in images]
+    ).astype(np.float32)
+    psfs = np.stack([np.dstack([uniform_kernel(mk)] * 3)] * b).astype(np.float32)
+
+    u_b, psf_b, stats_b = batched_deconvolve(
+        images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        iterations=25, step_factor=1e-3, lambd=1000.0, blind=True,
+        use_stopping=True,
+    )
+    u_b, stats_b = np.asarray(u_b), np.asarray(stats_b)
+
+    iters = []
+    for i in range(b):
+        single = richardson_lucy_MM(
+            images[i], us[i], psfs[i], pad + 1, m - pad - 1, pad + 1,
+            m - pad - 1, tau=0.0, iterations=25, step_factor=1e-3,
+            lambd=1000.0, blind=True,
+        )
+        assert int(stats_b[i, 0]) == single.iterations
+        np.testing.assert_allclose(u_b[i], np.asarray(single.u), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(psf_b)[i], np.asarray(single.psf), atol=1e-6
+        )
+        iters.append(single.iterations)
+    # the scenario must actually exercise divergent stopping points
+    assert len(set(iters)) > 1, iters
