@@ -194,3 +194,38 @@ def test_ssim_parity_on_reference_fixture():
     s = ssim(np.asarray(res.u), u_ref, data_range=1.0)
     assert s >= 0.999, f"SSIM {s} < 0.999 on real fixture"
     np.testing.assert_allclose(np.asarray(res.psf), psf_ref, atol=1e-4)
+
+
+def test_mixed_precision_mode_meets_parity_bar():
+    """dtype='mixed' (bf16 convs, f32 iterate + incremental residual) must
+    match f32 at >= 0.999 SSIM with the same stop timing — unlike pure
+    bfloat16 (~0.90 at converged non-blind residuals, catastrophic
+    cancellation in conv(u) - image)."""
+    from PIL import Image
+
+    from ics_tpu.models.rl_mm import RLConfig
+    from ics_tpu.utils.metrics import ssim
+
+    mk = 7
+    pad = mk // 2
+    with Image.open("/root/reference/img/blured.jpg") as im:
+        crop = np.asarray(im.crop((700, 500, 801, 601)), np.float32) / 255.0
+    crop = (crop ** (1 / 2.2)).astype(np.float32)
+    m = crop.shape[0]
+    u0 = np.pad(crop, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf0 = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    args = (crop, u0, psf0, pad + 1, m - pad - 1, pad + 1, m - pad - 1)
+
+    # tau=10: the relative-rise criterion can't fire -> fixed 25 iterations
+    kw = dict(tau=10.0, iterations=25, step_factor=1e-3, lambd=10000.0, blind=False)
+    ref = richardson_lucy_MM(*args, **kw)
+    mix = richardson_lucy_MM(*args, **kw, config=RLConfig(dtype="mixed"))
+    s = ssim(np.asarray(mix.u), np.asarray(ref.u), data_range=1.0)
+    assert s >= 0.999, f"mixed-precision SSIM {s}"
+
+    # stop timing must agree on the real stopping criterion
+    kw2 = dict(tau=0.0, iterations=30, step_factor=1e-3, lambd=10000.0, blind=False)
+    a = richardson_lucy_MM(*args, **kw2)
+    b = richardson_lucy_MM(*args, **kw2, config=RLConfig(dtype="mixed"))
+    assert a.iterations == b.iterations
+    assert a.converged == b.converged
