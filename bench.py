@@ -1,14 +1,19 @@
 """Headline benchmark: blind RL-TV deconvolution throughput on one chip.
 
-Reproduces the reference's published benchmark case — blind TV-MM
-deconvolution of img/blured.jpg (1394×1367 ≈ 1.9 MP), which took 189 s on
-the reference's 8-thread CPU (ref README.md:139-144; BASELINE.md) — with the
-same parameters as its __main__ invocation (ref deconvolve.py:382-386:
-blur_width 7, mask [584, 795], tolerance 0.1, quality normal, 200
-iterations).
+Two cases, both full blind+non-blind pipelines:
 
-Prints ONE JSON line: {"metric", "value" (MP/s/chip), "unit", "vs_baseline"}.
-Diagnostics go to stderr.
+1. **24 MP** (BASELINE.md's target workload): `img/153412.jpg` upscaled to
+   6000x4000, precision='mixed' (bf16 convs + f32 incremental residual —
+   SSIM >= 0.999 vs f32, see docs/PERFORMANCE.md).  Baseline: the reference
+   took 18 MINUTES for the non-blind phase alone of this image
+   (ref README.md:157-161); we run blind + non-blind.
+2. **1.9 MP** (the reference's published benchmark): blind TV-MM
+   deconvolution of img/blured.jpg with its own v29 parameters
+   (ref deconvolve.py:382-386), exact float32 — 189 s on the reference's
+   8-thread CPU (ref README.md:139-144).
+
+Prints ONE JSON line for the 24 MP case (metric/value/unit/vs_baseline),
+with the 1.9 MP case nested under "case_1_9mp".  Diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -22,30 +27,78 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ics_tpu_jax_cache")
 
 import numpy as np
 
-BASELINE_SECONDS = 189.0  # ref README.md:139-144
-BASELINE_MEGAPIXELS = 1394 * 1367 / 1e6
+BASELINE_1_9MP_SECONDS = 189.0  # ref README.md:139-144
+BASELINE_24MP_SECONDS = 18 * 60.0  # ref README.md:157-161 (non-blind only)
 
 
-def _load_fixture():
+def _load(path, fallback_shape):
     from ics_tpu.utils.io import load_image
 
-    path = "/root/reference/img/blured.jpg"
     if os.path.exists(path):
-        return np.asarray(load_image(path))
-    # Fallback: synthetic image of the same size
+        return load_image(path)
     rng = np.random.default_rng(0)
-    return (rng.random((1367, 1394, 3)) * 255).astype(np.uint8)
+    from PIL import Image
+
+    return Image.fromarray(
+        (rng.random(fallback_shape) * 255).astype(np.uint8)
+    )
+
+
+def _run_case(pic, kwargs, label):
+    """Warm (compile) + timed run.  Returns (elapsed_s, total_outer_iters)."""
+    from ics_tpu import deblur_module
+
+    t0 = time.time()
+    deblur_module(pic, f"{label}-warmup", None, **kwargs)
+    print(f"[{label}] warmup (incl. compile): {time.time() - t0:.2f}s",
+          file=sys.stderr)
+
+    stats = []
+    t0 = time.time()
+    out = deblur_module(pic, label, None, **kwargs, stats_out=stats)
+    elapsed = time.time() - t0
+    assert np.isfinite(out).all()
+    iters = sum(s["result"].iterations for s in stats)  # fetched post-timing
+    for s in stats:
+        r = s["result"]
+        print(f"[{label}] {s['case']} scale={s['scale']:.3f} k={s['k']}: "
+              f"{r.iterations} outer, converged={r.converged}",
+              file=sys.stderr)
+    return elapsed, iters
 
 
 def main():
     import jax
+    from PIL import Image
 
-    from ics_tpu import deblur_module
+    device = str(jax.devices()[0])
 
-    pic = _load_fixture()
-    mp = pic.shape[0] * pic.shape[1] / 1e6
+    # ---- case 1: 24 MP, mixed precision ---------------------------------
+    src = _load("/root/reference/img/153412.jpg", (3233, 4872, 3))
+    if not isinstance(src, Image.Image):
+        src = Image.fromarray(np.asarray(src, np.uint8))
+    pic24 = np.asarray(src.resize((6000, 4000), Image.LANCZOS))
+    mp24 = pic24.shape[0] * pic24.shape[1] / 1e6
 
-    kwargs = dict(
+    kwargs24 = dict(
+        blur_width=9,
+        mask=[2000, 3000],
+        mask_size=511,
+        display=False,
+        tolerance=0.1,
+        quality="normal",
+        preview=False,
+        blur="static",
+        iterations=200,
+        verbose=False,
+        precision="mixed",
+    )
+    el24, iters24 = _run_case(pic24, kwargs24, "bench-24mp")
+
+    # ---- case 2: 1.9 MP, exact f32 (the reference's own case) -----------
+    pic19 = np.asarray(_load("/root/reference/img/blured.jpg", (1367, 1394, 3)))
+    mp19 = pic19.shape[0] * pic19.shape[1] / 1e6
+    kwargs19 = dict(
         blur_width=7,
         mask=[584, 795],
         display=False,
@@ -55,31 +108,33 @@ def main():
         blur="static",
         iterations=200,
         verbose=False,
+        precision="exact",
     )
+    el19, iters19 = _run_case(pic19, kwargs19, "bench-1.9mp")
 
-    # Warmup: compile every pyramid level's program (the reference's CPU
-    # baseline has no compile step; XLA's persistent cache plays the FFTW
-    # wisdom role, ref README.md:135-136).
-    t0 = time.time()
-    deblur_module(pic, "bench-warmup", None, **kwargs)
-    warm = time.time() - t0
-    print(f"warmup (incl. compile): {warm:.2f}s", file=sys.stderr)
-
-    t0 = time.time()
-    out = deblur_module(pic, "bench", None, **kwargs)
-    elapsed = time.time() - t0
-    assert np.isfinite(out).all()
-
-    mp_per_s = mp / elapsed
-    baseline_mp_per_s = BASELINE_MEGAPIXELS / BASELINE_SECONDS
     result = {
-        "metric": "blind RL-TV-MM deconvolution of img/blured.jpg (1.9MP), full pipeline",
-        "value": round(mp_per_s, 4),
+        "metric": "blind RL-TV-MM deconvolution, 24MP (6000x4000), full "
+                  "pipeline, mixed precision (SSIM>=0.999 vs f32)",
+        "value": round(mp24 / el24, 4),
         "unit": "MP/s/chip",
-        "vs_baseline": round(mp_per_s / baseline_mp_per_s, 2),
-        "elapsed_s": round(elapsed, 3),
-        "baseline_s": BASELINE_SECONDS,
-        "device": str(jax.devices()[0]),
+        "vs_baseline": round((mp24 / el24) / (mp24 / BASELINE_24MP_SECONDS), 2),
+        "elapsed_s": round(el24, 3),
+        "baseline_s": BASELINE_24MP_SECONDS,
+        "iters_per_s_24mp": round(iters24 / el24, 3),
+        "total_outer_iters_24mp": iters24,
+        "case_1_9mp": {
+            "metric": "blind RL-TV-MM of img/blured.jpg (1.9MP), full "
+                      "pipeline, exact f32",
+            "value": round(mp19 / el19, 4),
+            "unit": "MP/s/chip",
+            "vs_baseline": round(
+                (mp19 / el19) / (mp19 / BASELINE_1_9MP_SECONDS), 2
+            ),
+            "elapsed_s": round(el19, 3),
+            "baseline_s": BASELINE_1_9MP_SECONDS,
+            "iters_per_s": round(iters19 / el19, 3),
+        },
+        "device": device,
     }
     print(json.dumps(result))
 

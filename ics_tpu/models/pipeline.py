@@ -97,6 +97,8 @@ def deblur_module(
     solver: str = "mm",
     psf_path: str | None = None,
     save_psf_path: str | None = None,
+    precision: str = "exact",
+    stats_out: list | None = None,
 ) -> np.ndarray:
     """Blind deblurring API (parity: ref deconvolve.py:66-368).
 
@@ -209,11 +211,19 @@ def deblur_module(
 
     images, kernels = build_pyramid(blur_width, confidence)
 
+    # precision: 'exact' = float32 reference parity; 'mixed' = bf16 convs +
+    # f32 incremental residual on the non-blind full-frame solves (~2.3x on
+    # large frames, SSIM >= 0.999 — see RLConfig.dtype); 'fast' = all-bf16.
+    solver_dtype = {"exact": "float32", "mixed": "mixed", "fast": "bfloat16"}[
+        precision
+    ]
+
     deblured_image = pic
     if solver == "mm":
         solver_fn = richardson_lucy_MM
         solver_cfg = config or RLConfig(
-            p=p, norm=norm, order=order, priority=priority, refocus=refocus
+            p=p, norm=norm, order=order, priority=priority, refocus=refocus,
+            dtype=solver_dtype,
         )
     elif solver == "pam":
         from ics_tpu.models.rl_pam import richardson_lucy_PAM
@@ -373,6 +383,12 @@ def deblur_module(
                         **({"verbose": verbose} if solver == "mm" else {}),
                     )
                     deblured_image = res.u
+
+                if stats_out is not None:
+                    # RLResult stats stay ON DEVICE (lazy) — appending does
+                    # not sync the async level pipeline; fetch after timing.
+                    stats_out.append({"case": case, "scale": i, "k": k,
+                                      "result": res})
 
                 # Strip the safety padding (ref :322-323)
                 temp_blurry_image = temp_blurry_image[1:-1, 1:-1, ...]

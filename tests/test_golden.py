@@ -1,0 +1,144 @@
+"""Golden-image quality regression against the reference's img/ corpus.
+
+The reference's QA was manual golden-image inspection of its img/ galleries
+(ref img/README.md, SURVEY §4).  The checked-in triple crop-blured.jpg /
+crop-original.jpg / crop-deblurred.jpg gives an OBJECTIVE version of it:
+crop-original is the ground truth, crop-blured the synthetic-blur input and
+crop-deblurred the reference's own published result — so we can assert our
+end-to-end output quality beats the bar the reference itself achieved.
+
+Measured bars (against crop-original):
+  crop-blured     SSIM 0.8844  PSNR 35.24   (the input)
+  crop-deblurred  SSIM 0.8821  PSNR 35.51   (the reference's result)
+  ours (bw=5)     SSIM 0.9027  PSNR 35.93   (round-2 measurement)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ics_tpu.utils.metrics import psnr, ssim
+
+IMG = "/root/reference/img"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(IMG, "crop-blured.jpg")),
+    reason="reference image corpus not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def crops():
+    from PIL import Image
+
+    def load(name):
+        with Image.open(os.path.join(IMG, name)) as im:
+            return np.asarray(im, np.float32) / 255.0
+
+    return {
+        "blured": load("crop-blured.jpg"),
+        "original": load("crop-original.jpg"),
+        "deblurred_ref": load("crop-deblurred.jpg"),
+    }
+
+
+def test_deblur_beats_reference_published_quality(crops, tmp_path):
+    """End-to-end blind deblur of the reference's blurred crop must beat the
+    quality of the reference's own published deblurred crop, measured
+    against the ground-truth original.
+
+    Runs in a pinned 1-device CPU subprocess: the residual-whiteness stop
+    is numerically chaotic, so the stopping iteration (and with it final
+    quality) shifts with fp reduction order — the 8-virtual-device test mesh
+    produces a different (worse) trajectory than the canonical single
+    device.  Quality bars are only meaningful on a fixed configuration."""
+    import subprocess
+    import sys
+
+    out_npy = tmp_path / "deblur.npy"
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.pipeline import deblur_module
+with Image.open({os.path.join(IMG, 'crop-blured.jpg')!r}) as im:
+    pic = np.asarray(im, np.uint8)
+out = deblur_module(pic, 'golden-deblur', None, 5, mask=[275, 275],
+                    mask_size=255, tolerance=0.1, iterations=50,
+                    verbose=False)
+np.save({str(out_npy)!r}, out)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = np.load(out_npy).astype(np.float32) / 65535.0
+
+    truth = crops["original"]
+    ref_ssim = ssim(crops["deblurred_ref"], truth, data_range=1.0)  # 0.8821
+    ref_psnr = psnr(crops["deblurred_ref"], truth, 1.0)  # 35.51
+
+    got_ssim = ssim(out, truth, data_range=1.0)
+    got_psnr = psnr(out, truth, 1.0)
+    assert got_ssim >= ref_ssim, (got_ssim, ref_ssim)
+    assert got_psnr >= ref_psnr, (got_psnr, ref_psnr)
+    # absolute floors so a simultaneous corpus change can't mask a regression
+    assert got_ssim >= 0.89
+    assert got_psnr >= 35.5
+
+
+def test_tv_denoise_improves_noisy_image(crops):
+    """Chambolle TV denoise must recover PSNR on a noised ground truth."""
+    from ics_tpu.models.tv_denoise import tv_denoise
+
+    rng = np.random.default_rng(7)
+    truth = crops["original"][:256, :256]
+    noisy = np.clip(truth + rng.normal(0, 0.05, truth.shape), 0, 1).astype(
+        np.float32
+    )
+    den = np.asarray(tv_denoise(noisy, weight=0.1, iterations=50))
+    assert psnr(den, truth, 1.0) > psnr(noisy, truth, 1.0) + 2.0
+
+
+def test_bilateral_lab_improves_noisy_image(crops):
+    """The bilateral-LAB workflow (ref img/bilateral-LAB gallery) must
+    denoise: higher PSNR vs ground truth than the noisy input."""
+    from ics_tpu.utils.filters import bilateral_lab
+
+    rng = np.random.default_rng(8)
+    truth = crops["original"][100:228, 100:228]
+    noisy = np.clip(truth + rng.normal(0, 0.04, truth.shape), 0, 1).astype(
+        np.float32
+    )
+    out = np.asarray(
+        bilateral_lab(noisy, radius=4, std_i=15.0, std_s=4.0,
+                      luminance_only=False)
+    )
+    # measured: 28.1 dB noisy -> 33.8 dB filtered
+    assert psnr(out, truth, 1.0) > psnr(noisy, truth, 1.0) + 4.0
+
+
+def test_usm_sharpens_blurred_image(crops):
+    """USM (ref img/bilateral-unsharp-mask gallery) must increase gradient
+    energy on a blurred input while staying close to the sharp original."""
+    from ics_tpu.utils.filters import USM
+
+    blur = crops["blured"][100:356, 100:356]
+    truth = crops["original"][100:356, 100:356]
+    out = np.stack(
+        [np.asarray(USM(blur[..., c], 5, 2.0, 1.0)) for c in range(3)],
+        axis=-1,
+    )
+
+    def grad_energy(a):
+        return float(np.mean(np.diff(a, axis=0) ** 2) + np.mean(np.diff(a, axis=1) ** 2))
+
+    # measured: 1.85x gradient energy AND +0.27 dB PSNR toward the original
+    assert grad_energy(out) > 1.5 * grad_energy(blur)
+    assert psnr(np.clip(out, 0, 1), truth, 1.0) >= psnr(blur, truth, 1.0)
