@@ -23,8 +23,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ics_tpu_jax_cache")
-
 import numpy as np
 
 BASELINE_1_9MP_SECONDS = 189.0  # ref README.md:139-144
@@ -70,6 +68,13 @@ def _run_case(pic, kwargs, label):
 def main():
     import jax
     from PIL import Image
+
+    from ics_tpu.utils.cache import enable_persistent_cache
+
+    # Cross-process compile reuse (the reference's "FFTW wisdom" analog).
+    # Must go through jax.config.update — the env var is snapshotted before
+    # this script runs when a sitecustomize imports jax at startup.
+    enable_persistent_cache()
 
     device = str(jax.devices()[0])
 

@@ -17,7 +17,7 @@ RNG = np.random.default_rng(42)
 
 
 @pytest.mark.parametrize("mode", ["valid", "same", "full"])
-@pytest.mark.parametrize("method", ["stencil", "direct", "fft"])
+@pytest.mark.parametrize("method", ["stencil", "direct", "fft", "mxu"])
 @pytest.mark.parametrize(
     "ashape,kshape",
     [((17, 23), (5, 7)), ((16, 16), (4, 4)), ((31, 29), (3, 3)), ((9, 9), (9, 9))],
@@ -32,7 +32,7 @@ def test_convolve2d_matches_scipy(mode, method, ashape, kshape):
 
 
 @pytest.mark.parametrize("mode", ["valid", "same", "full"])
-@pytest.mark.parametrize("method", ["stencil", "direct", "fft"])
+@pytest.mark.parametrize("method", ["stencil", "direct", "fft", "mxu"])
 def test_convolve_rgb_per_channel(mode, method):
     a = RNG.standard_normal((21, 19, 3)).astype(np.float32)
     k = RNG.standard_normal((5, 5, 3)).astype(np.float32)
