@@ -41,6 +41,18 @@ def _load():
                 ctypes.c_char_p,
                 ctypes.c_longlong,
             ]
+            for enc in ("ics_encode_packbits", "ics_encode_lzw"):
+                try:
+                    fn = getattr(lib, enc)
+                except AttributeError:  # older .so without encoders
+                    continue
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                ]
             _LIB = lib
             break
     return _LIB
@@ -66,3 +78,27 @@ def decode_lzw(data: bytes, expected: int) -> bytes:
     if n < 0:
         raise ValueError("lzw decode failed")
     return out.raw[:n]
+
+
+def has_encoders() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ics_encode_lzw")
+
+
+def _encode(fname: str, data: bytes, worst: int) -> bytes:
+    lib = _load()
+    out = ctypes.create_string_buffer(worst)
+    n = getattr(lib, fname)(data, len(data), out, worst)
+    if n < 0:
+        raise ValueError(f"{fname} failed (buffer too small?)")
+    return out.raw[:n]
+
+
+def encode_packbits(data: bytes) -> bytes:
+    # worst case: one header byte per 128 literals, plus slack
+    return _encode("ics_encode_packbits", data, len(data) + len(data) // 128 + 16)
+
+
+def encode_lzw(data: bytes) -> bytes:
+    # worst case ~12 bits per input byte (all-literal, max width) plus slack
+    return _encode("ics_encode_lzw", data, 2 * len(data) + 64)

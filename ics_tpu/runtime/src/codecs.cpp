@@ -134,9 +134,117 @@ ICS_API long long ics_decode_lzw(const unsigned char* src, long long srclen,
     } else {
       return -1;  // malformed stream
     }
-    // Early change: the decoder table lags the encoder's by one entry, so
-    // the width bumps when next_code reaches 2^nbits - 2.
-    if (next_code + 2 >= (1 << nbits) && nbits < 12) ++nbits;
+    // Early change (libtiff convention, validated against its streams):
+    // the decoder widens after inserting entry 2^nbits - 1.
+    if (next_code + 1 >= (1 << nbits) && nbits < 12) ++nbits;
+  }
+  return o;
+}
+
+// Apple PackBits compression.  Returns bytes written, or -1 on overflow.
+ICS_API long long ics_encode_packbits(const unsigned char* src, long long srclen,
+                                      unsigned char* dst, long long dstlen) {
+  long long i = 0, o = 0;
+  while (i < srclen) {
+    // find run length at i
+    long long run = 1;
+    while (i + run < srclen && run < 128 && src[i + run] == src[i]) ++run;
+    if (run >= 2) {
+      if (o + 2 > dstlen) return -1;
+      dst[o++] = static_cast<unsigned char>(257 - run);
+      dst[o++] = src[i];
+      i += run;
+    } else {
+      // literal run: until the next >=3 replicate run (2-byte runs are
+      // cheaper folded into literals) or 128 bytes
+      long long j = i + 1;
+      while (j < srclen && j - i < 128) {
+        long long r = 1;
+        while (j + r < srclen && r < 3 && src[j + r] == src[j]) ++r;
+        if (r >= 3) break;
+        ++j;
+      }
+      const long long n = j - i;
+      if (o + 1 + n > dstlen) return -1;
+      dst[o++] = static_cast<unsigned char>(n - 1);
+      std::memcpy(dst + o, src + i, static_cast<size_t>(n));
+      o += n;
+      i = j;
+    }
+  }
+  return o;
+}
+
+// TIFF-variant LZW compression (MSB-first, 9->12 bit, early change),
+// the inverse of ics_decode_lzw.  Returns bytes written, or -1 on overflow.
+ICS_API long long ics_encode_lzw(const unsigned char* src, long long srclen,
+                                 unsigned char* dst, long long dstlen) {
+  constexpr int kClear = 256, kEoi = 257;
+  constexpr int kHSize = 9001;  // prime > 4096, libtiff-style open hash
+  static thread_local int hcode[kHSize];   // table code at slot
+  static thread_local int hkey[kHSize];    // (prefix<<8)|byte at slot
+
+  long long o = 0;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  int nbits = 9;
+  int next_code = 258;
+
+  auto put = [&](int code) -> bool {
+    bitbuf = (bitbuf << nbits) | static_cast<uint32_t>(code);
+    bitcnt += nbits;
+    while (bitcnt >= 8) {
+      if (o >= dstlen) return false;
+      dst[o++] = static_cast<unsigned char>((bitbuf >> (bitcnt - 8)) & 0xff);
+      bitcnt -= 8;
+    }
+    return true;
+  };
+  auto reset_table = [&]() {
+    for (int s = 0; s < kHSize; ++s) hcode[s] = -1;
+    next_code = 258;
+    nbits = 9;
+  };
+
+  reset_table();
+  if (!put(kClear)) return -1;
+  if (srclen == 0) {
+    if (!put(kEoi)) return -1;
+  } else {
+    int cur = src[0];
+    for (long long i = 1; i < srclen; ++i) {
+      const int b = src[i];
+      const int key = (cur << 8) | b;
+      // open-addressing lookup
+      int slot = key % kHSize;
+      int found = -1;
+      while (hcode[slot] != -1) {
+        if (hkey[slot] == key) { found = hcode[slot]; break; }
+        if (++slot == kHSize) slot = 0;
+      }
+      if (found >= 0) {
+        cur = found;
+        continue;
+      }
+      if (!put(cur)) return -1;
+      hkey[slot] = key;
+      hcode[slot] = next_code++;
+      cur = b;
+      // Early change (libtiff convention): the encoder runs one table
+      // entry ahead of the decoder, so it widens after inserting entry
+      // 2^nbits — the mirror of the decoder's 2^nbits - 1 bump.
+      if (next_code >= (1 << nbits) && nbits < 12) ++nbits;
+      if (next_code >= 4094) {  // keep one slot below EOI overflow
+        if (!put(kClear)) return -1;
+        reset_table();
+      }
+    }
+    if (!put(cur)) return -1;
+    if (!put(kEoi)) return -1;
+  }
+  if (bitcnt > 0) {  // flush remaining bits, zero-padded
+    if (o >= dstlen) return -1;
+    dst[o++] = static_cast<unsigned char>((bitbuf << (8 - bitcnt)) & 0xff);
   }
   return o;
 }

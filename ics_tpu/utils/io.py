@@ -42,10 +42,101 @@ def save(pic: np.ndarray, name: str, dest_path: str) -> None:
     imsave(join(dest_path, name + ".tif"), np.asarray(pic).astype(np.uint16))
 
 
-def imsave(path: str, arr: np.ndarray) -> None:
-    """Write a baseline little-endian TIFF (uncompressed, chunky).
+def _encode_packbits_py(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and r < 3 and data[j + r] == data[j]:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
 
-    Supports (H, W) and (H, W, C) uint8/uint16 arrays.
+
+def _encode_lzw_py(data: bytes) -> bytes:
+    """TIFF-variant LZW compression (inverse of ``_decode_lzw``)."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    nbits = 9
+    next_code = 258
+    table: dict[int, int] = {}
+
+    def put(code):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    put(256)  # Clear
+    if data:
+        cur = data[0]
+        for b in data[1:]:
+            key = (cur << 8) | b
+            code = table.get(key)
+            if code is not None:
+                cur = code
+                continue
+            put(cur)
+            table[key] = next_code
+            next_code += 1
+            cur = b
+            # early change (libtiff convention): the encoder runs one
+            # entry ahead of the decoder, so it widens at 2^nbits
+            if next_code >= (1 << nbits) and nbits < 12:
+                nbits += 1
+            if next_code >= 4094:
+                put(256)
+                table = {}
+                next_code = 258
+                nbits = 9
+        put(cur)
+    put(257)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
+    """Returns (payload, TIFF compression tag value)."""
+    from ics_tpu.runtime import codecs
+
+    if compression in (None, "none", 1):
+        return data, 1
+    if compression in ("lzw", 5):
+        if codecs.available() and codecs.has_encoders():
+            return codecs.encode_lzw(data), 5
+        return _encode_lzw_py(data), 5
+    if compression in ("packbits", 32773):
+        if codecs.available() and codecs.has_encoders():
+            return codecs.encode_packbits(data), 32773
+        return _encode_packbits_py(data), 32773
+    raise ValueError(f"unsupported compression {compression!r}")
+
+
+def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
+    """Write a baseline little-endian TIFF (chunky, single strip).
+
+    Supports (H, W) and (H, W, C) uint8/uint16 arrays;
+    ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
+    built, pure-Python fallbacks otherwise).
     """
     arr = np.ascontiguousarray(arr)
     if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
@@ -60,12 +151,13 @@ def imsave(path: str, arr: np.ndarray) -> None:
         raise ValueError(f"unsupported shape {arr.shape}")
     bps = arr.dtype.itemsize * 8
     data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
+    data, comp_tag = _compress(data, compression)
 
     entries = [
         (_IMAGE_WIDTH, 4, 1, w),
         (_IMAGE_LENGTH, 4, 1, h),
         (_BITS_PER_SAMPLE, 3, spp, None),  # value resolved below
-        (_COMPRESSION, 3, 1, 1),
+        (_COMPRESSION, 3, 1, comp_tag),
         (_PHOTOMETRIC, 3, 1, photometric),
         (_STRIP_OFFSETS, 4, 1, None),
         (_SAMPLES_PER_PIXEL, 3, 1, spp),
@@ -179,9 +271,9 @@ def _decode_lzw(data: bytes, expected: int) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
-        # TIFF "early change": bump code width one entry early.  The decoder
-        # table lags the encoder's by one entry, hence the +2.
-        if len(table) + 2 >= (1 << nbits) and nbits < 12:
+        # TIFF "early change" (libtiff convention, validated against its
+        # streams): widen after the table holds 2^nbits - 1 entries.
+        if len(table) + 1 >= (1 << nbits) and nbits < 12:
             nbits += 1
     return bytes(out)
 

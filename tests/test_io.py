@@ -31,85 +31,18 @@ def test_save_is_16bit_rgb(tmp_path):
     np.testing.assert_array_equal(back, pic.astype(np.uint16))
 
 
-def _encode_packbits(data: bytes) -> bytes:
-    """Minimal PackBits encoder (literal runs only) for decoder testing."""
-    out = bytearray()
-    i = 0
-    while i < len(data):
-        # find a run
-        j = i
-        while j + 1 < len(data) and data[j + 1] == data[j] and j - i < 127:
-            j += 1
-        if j > i:  # run of length j-i+1
-            out.append(257 - (j - i + 1))
-            out.append(data[i])
-            i = j + 1
-        else:
-            # literal block
-            k = i
-            while (
-                k < len(data)
-                and k - i < 128
-                and not (k + 1 < len(data) and data[k + 1] == data[k])
-            ):
-                k += 1
-            out.append(k - i - 1)
-            out += data[i:k]
-            i = k
-    return bytes(out)
+# The production encoders are libtiff-cross-validated (tests below read
+# PIL/libtiff-written streams and PIL reads ours), so they serve as the
+# test encoders too — round-1's test-local LZW encoder shared an
+# early-change off-by-one with the decoder, hiding the incompatibility.
+from ics_tpu.utils.io import _encode_lzw_py as _encode_lzw  # noqa: E402
+from ics_tpu.utils.io import _encode_packbits_py as _encode_packbits  # noqa: E402
 
 
 def test_packbits_decode():
     data = bytes(RNG.integers(0, 4, 300).astype(np.uint8))  # lots of runs
     enc = _encode_packbits(data)
     assert io._decode_packbits(enc, len(data)) == data
-
-
-def _encode_lzw(data: bytes) -> bytes:
-    """Minimal TIFF-LZW encoder (with early change) for decoder testing."""
-    out_bits = []
-    nbits = 9
-    table = {bytes([i]): i for i in range(256)}
-    next_code = 258
-
-    def emit(code, nb):
-        out_bits.append((code, nb))
-
-    emit(256, nbits)  # clear
-    w = b""
-    for ch in data:
-        wc = w + bytes([ch])
-        if wc in table:
-            w = wc
-        else:
-            emit(table[w], nbits)
-            table[wc] = next_code
-            next_code += 1
-            if next_code == (1 << nbits) - 1:
-                if nbits < 12:
-                    nbits += 1
-                else:  # table full: emit CLEAR and restart, like libtiff
-                    emit(256, nbits)
-                    table = {bytes([i]): i for i in range(256)}
-                    next_code = 258
-                    nbits = 9
-            w = bytes([ch])
-    if w:
-        emit(table[w], nbits)
-    emit(257, nbits)  # EOI
-    # pack MSB-first
-    buf = bytearray()
-    acc = 0
-    accbits = 0
-    for code, nb in out_bits:
-        acc = (acc << nb) | code
-        accbits += nb
-        while accbits >= 8:
-            accbits -= 8
-            buf.append((acc >> accbits) & 0xFF)
-    if accbits:
-        buf.append((acc << (8 - accbits)) & 0xFF)
-    return bytes(buf)
 
 
 def test_lzw_decode():
@@ -157,3 +90,61 @@ def test_big_endian_tiff_read(tmp_path):
     p.write_bytes(buf)
     back = io.imread(str(p))
     np.testing.assert_array_equal(back, data.astype("=u2"))
+
+
+def test_lzw_interoperates_with_libtiff(tmp_path):
+    """Both directions against PIL/libtiff: we read its LZW streams, it
+    reads ours — including streams long enough to exercise every code width
+    and the mid-stream Clear."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    med = np.kron(
+        rng.integers(0, 255, (16, 16), dtype=np.uint8), np.ones((4, 4), np.uint8)
+    )
+    p = str(tmp_path / "pil_lzw.tif")
+    Image.fromarray(med).save(p, compression="tiff_lzw")
+    with Image.open(p) as im:
+        off = im.tag_v2.get(273)[0]
+        cnt = im.tag_v2.get(279)[0]
+    strip = open(p, "rb").read()[off : off + cnt]
+    assert io._decode_lzw(strip, med.size) == med.tobytes()
+
+    # big enough to hit the 4094-entry Clear in our encoder
+    big = np.kron(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+        np.ones((4, 4, 1), np.uint8),
+    )
+    for comp in ("lzw", "packbits"):
+        q = str(tmp_path / f"ours_{comp}.tif")
+        io.imsave(q, big, compression=comp)
+        assert (io.imread(q) == big).all()
+        with Image.open(q) as im:
+            assert (np.asarray(im) == big).all(), comp
+
+
+def test_compressed_16bit_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    arr = (rng.random((60, 77, 3)) * 65535).astype(np.uint16)
+    for comp in ("lzw", "packbits", None):
+        p = str(tmp_path / f"c16_{comp}.tif")
+        io.imsave(p, arr, compression=comp)
+        back = io.imread(p)
+        assert back.dtype == np.uint16
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_python_fallback_encoders_match_native(tmp_path):
+    from ics_tpu.runtime import codecs
+
+    if not (codecs.available() and codecs.has_encoders()):
+        import pytest
+
+        pytest.skip("native codecs not built")
+    rng = np.random.default_rng(7)
+    data = (
+        bytes(rng.integers(0, 5, 9000).astype(np.uint8))
+        + bytes(rng.integers(0, 255, 9000).astype(np.uint8))
+    )
+    assert codecs.encode_lzw(data) == io._encode_lzw_py(data)
+    assert codecs.encode_packbits(data) == io._encode_packbits_py(data)
