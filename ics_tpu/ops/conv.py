@@ -37,6 +37,7 @@ __all__ = ["convolve2d", "convolve_rgb", "fft_autocorrelate_same"]
 # compile cost grows with taps (one HLO slice+fma per tap), so cap it.
 _STENCIL_THRESHOLD_TAPS = 13 * 13
 _FFT_THRESHOLD_TAPS = 31 * 31
+_MXU_THRESHOLD_TAPS = 9 * 9  # bf16-on-TPU only; see _dispatch
 
 
 def _out_shape(m: int, mk: int, mode: str) -> int:
@@ -224,7 +225,18 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
     if method == "auto":
         taps = mk * nk
-        if taps <= _STENCIL_THRESHOLD_TAPS:
+        if (
+            a3.dtype == jnp.bfloat16
+            and taps >= _MXU_THRESHOLD_TAPS
+            and nk <= 128
+            and jax.default_backend() == "tpu"
+        ):
+            # bf16 matmuls ride the MXU: cost grows with kernel ROWS, not
+            # taps (measured at 6.3 MP: ties the stencil at 9x9, 1.9x at
+            # 13x13, projected ~6x at 45x45).  f32 stays on the stencil —
+            # f32 matmul throughput doesn't cover the 2x128/nk inflation.
+            method = "mxu"
+        elif taps <= _STENCIL_THRESHOLD_TAPS:
             method = "stencil"
         elif taps <= _FFT_THRESHOLD_TAPS:
             method = "direct"
