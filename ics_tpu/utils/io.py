@@ -4,11 +4,14 @@ JPEG/TIFF input.
 Parity targets: reference lib/utils.py:303-312 (``save`` → 16-bit RGB TIFF)
 and the vendored ``lib/tifffile.py`` read/write stack (C12 in SURVEY.md §2).
 This environment has no ``tifffile`` package, so a self-contained TIFF
-implementation lives here: baseline little-endian TIFF with strip storage,
-uncompressed write, and uncompressed / PackBits / LZW read.  The LZW and
-PackBits decoders dispatch to the native C++ codec library
-(``ics_tpu.runtime``, the counterpart of the reference's hand-written
-lib/tifffile.c:432-658) when it has been built, with pure-Python fallbacks.
+implementation lives here: read classic TIFF and BigTIFF, strip or tile
+layout, uncompressed / PackBits / LZW, 8/16-bit, both byte orders, with
+horizontal-predictor support; write classic TIFF with optional LZW or
+PackBits compression; ``imread_sequence`` stacks a glob of files (the
+``TiffSequence`` analog, ref lib/tifffile.py:4073).  Codecs dispatch to the
+native C++ library (``ics_tpu.runtime``, counterpart of the reference's
+hand-written lib/tifffile.c:432-658) when built, with byte-identical
+pure-Python fallbacks; both are cross-validated against libtiff.
 
 I/O is host-side by design — TPU sees only device arrays.
 """
@@ -20,7 +23,7 @@ from os.path import join
 
 import numpy as np
 
-__all__ = ["save", "imsave", "imread", "load_image"]
+__all__ = ["save", "imsave", "imread", "imread_sequence", "load_image"]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -283,8 +286,56 @@ def _undo_predictor(rows: np.ndarray) -> np.ndarray:
     return rows
 
 
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 8: "h", 9: "i", 17: "q"}
+
+
+def _parse_ifd(raw: bytes, en: str, ifd_off: int, big: bool):
+    """Parse one IFD into {tag: (type, count, payload)}; classic or BigTIFF."""
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    if big:
+        (count,) = struct.unpack(en + "Q", raw[ifd_off : ifd_off + 8])
+        base, entry, inline = ifd_off + 8, 20, 8
+    else:
+        (count,) = struct.unpack(en + "H", raw[ifd_off : ifd_off + 2])
+        base, entry, inline = ifd_off + 2, 12, 4
+    for idx in range(count):
+        off = base + idx * entry
+        if big:
+            tag, typ, n = struct.unpack(en + "HHQ", raw[off : off + 12])
+            vfield = raw[off + 12 : off + 20]
+        else:
+            tag, typ, n = struct.unpack(en + "HHI", raw[off : off + 8])
+            vfield = raw[off + 8 : off + 12]
+        size = _TYPE_SIZE.get(typ, 1) * n
+        if size <= inline:
+            payload = vfield[:size]
+        else:
+            (ptr,) = struct.unpack(en + ("Q" if big else "I"), vfield)
+            payload = raw[ptr : ptr + size]
+        tags[tag] = (typ, n, payload)
+    return tags
+
+
+def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
+    if compression == 1:
+        return seg[:expected]
+    if compression == 32773:
+        return _decode_packbits(seg, expected)
+    if compression == 5:
+        return _decode_lzw(seg, expected)
+    raise NotImplementedError(f"TIFF compression {compression}")
+
+
 def imread(path: str) -> np.ndarray:
-    """Read a strip-based TIFF (uncompressed / PackBits / LZW, 8/16-bit)."""
+    """Read a TIFF: classic or BigTIFF, strip or tile layout,
+    uncompressed / PackBits / LZW, 8/16-bit, either byte order."""
     with open(path, "rb") as f:
         raw = f.read()
     byte_order = raw[:2]
@@ -294,29 +345,25 @@ def imread(path: str) -> np.ndarray:
         en = ">"
     else:
         raise ValueError("not a TIFF file")
-    magic, ifd_off = struct.unpack(en + "HI", raw[2:8])
-    if magic != 42:
-        raise ValueError("not a classic TIFF file")
+    (magic,) = struct.unpack(en + "H", raw[2:4])
+    if magic == 42:  # classic
+        big = False
+        (ifd_off,) = struct.unpack(en + "I", raw[4:8])
+    elif magic == 43:  # BigTIFF
+        big = True
+        osize, zero, ifd_off = struct.unpack(en + "HHQ", raw[4:16])
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+    else:
+        raise ValueError("not a TIFF file")
 
-    (count,) = struct.unpack(en + "H", raw[ifd_off : ifd_off + 2])
-    tags: dict[int, tuple[int, int, bytes]] = {}
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-    for idx in range(count):
-        off = ifd_off + 2 + idx * 12
-        tag, typ, n = struct.unpack(en + "HHI", raw[off : off + 8])
-        size = type_size.get(typ, 1) * n
-        if size <= 4:
-            payload = raw[off + 8 : off + 8 + size]
-        else:
-            (ptr,) = struct.unpack(en + "I", raw[off + 8 : off + 12])
-            payload = raw[ptr : ptr + size]
-        tags[tag] = (typ, n, payload)
+    tags = _parse_ifd(raw, en, ifd_off, big)
 
     def values(tag, default=None):
         if tag not in tags:
             return default
         typ, n, payload = tags[tag]
-        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        fmt = _TYPE_FMT[typ]
         return list(struct.unpack(en + fmt * n, payload))
 
     width = values(_IMAGE_WIDTH)[0]
@@ -326,40 +373,68 @@ def imread(path: str) -> np.ndarray:
     compression = values(_COMPRESSION, [1])[0]
     predictor = values(_PREDICTOR, [1])[0]
     planar = values(_PLANAR_CONFIG, [1])[0]
-    rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
-    offsets = values(_STRIP_OFFSETS)
-    counts = values(_STRIP_BYTE_COUNTS)
     if planar != 1:
         raise NotImplementedError("planar TIFF not supported")
     if bps not in (8, 16):
         raise NotImplementedError(f"{bps}-bit TIFF not supported")
 
     dtype = np.dtype(en + ("u1" if bps == 8 else "u2"))
-    row_bytes = width * spp * (bps // 8)
     out = np.empty((height, width * spp), dtype=dtype)
-    row = 0
-    for off, cnt in zip(offsets, counts):
-        strip = raw[off : off + cnt]
-        nrows = min(rows_per_strip, height - row)
-        expected = nrows * row_bytes
-        if compression == 1:
-            decoded = strip[:expected]
-        elif compression == 32773:
-            decoded = _decode_packbits(strip, expected)
-        elif compression == 5:
-            decoded = _decode_lzw(strip, expected)
-        else:
-            raise NotImplementedError(f"TIFF compression {compression}")
-        rows = np.frombuffer(decoded, dtype=dtype).reshape(nrows, width * spp)
+
+    def undo_pred(rows, nrows, ncols):
         if predictor == 2:
             rows = _undo_predictor(
-                rows.reshape(nrows, width, spp).astype(dtype).copy()
-            ).reshape(nrows, width * spp)
-        out[row : row + nrows] = rows
-        row += nrows
+                rows.reshape(nrows, ncols, spp).astype(dtype).copy()
+            ).reshape(nrows, ncols * spp)
+        return rows
+
+    if _TILE_OFFSETS in tags:
+        tw = values(_TILE_WIDTH)[0]
+        tl = values(_TILE_LENGTH)[0]
+        offsets = values(_TILE_OFFSETS)
+        counts = values(_TILE_BYTE_COUNTS)
+        tiles_across = -(-width // tw)
+        tile_bytes = tl * tw * spp * (bps // 8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(i, tiles_across)
+            decoded = _decode_segment(raw[off : off + cnt], tile_bytes, compression)
+            rows = np.frombuffer(decoded, dtype=dtype).reshape(tl, tw * spp)
+            rows = undo_pred(rows, tl, tw)
+            y0, x0 = ty * tl, tx * tw
+            vy = min(tl, height - y0)
+            vx = min(tw, width - x0)
+            out[y0 : y0 + vy, x0 * spp : (x0 + vx) * spp] = rows[
+                :vy, : vx * spp
+            ]
+    else:
+        rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+        offsets = values(_STRIP_OFFSETS)
+        counts = values(_STRIP_BYTE_COUNTS)
+        row_bytes = width * spp * (bps // 8)
+        row = 0
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, height - row)
+            decoded = _decode_segment(
+                raw[off : off + cnt], nrows * row_bytes, compression
+            )
+            rows = np.frombuffer(decoded, dtype=dtype).reshape(nrows, width * spp)
+            rows = undo_pred(rows, nrows, width)
+            out[row : row + nrows] = rows
+            row += nrows
 
     arr = out.reshape(height, width, spp) if spp > 1 else out.reshape(height, width)
     return arr.astype(dtype.newbyteorder("="))
+
+
+def imread_sequence(pattern: str) -> np.ndarray:
+    """Read a glob of same-shaped TIFFs as one (N, ...) stack — the analog
+    of the reference's ``TiffSequence`` (ref lib/tifffile.py:4073)."""
+    import glob
+
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no files match {pattern!r}")
+    return np.stack([imread(p) for p in paths])
 
 
 def load_image(path: str) -> np.ndarray:

@@ -148,3 +148,115 @@ def test_python_fallback_encoders_match_native(tmp_path):
     )
     assert codecs.encode_lzw(data) == io._encode_lzw_py(data)
     assert codecs.encode_packbits(data) == io._encode_packbits_py(data)
+
+
+def _write_bigtiff(path, arr):
+    """Hand-rolled little-endian BigTIFF, single uncompressed strip."""
+    h, w, spp = arr.shape
+    data = arr.astype("<u2").tobytes()
+    tags = [
+        (256, 16, 1, w), (257, 16, 1, h), (258, 3, 3, None),
+        (259, 3, 1, 1), (262, 3, 1, 2), (273, 16, 1, None),
+        (277, 3, 1, spp), (278, 16, 1, h), (279, 16, 1, len(data)),
+        (284, 3, 1, 1),
+    ]
+    header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    nifd = len(tags)
+    extra_off = 16 + 8 + nifd * 20 + 8
+    extra = struct.pack("<3H", 16, 16, 16)
+    data_off = extra_off + len(extra)
+    body = struct.pack("<Q", nifd)
+    for tag, typ, cnt, val in tags:
+        fmt = {3: "H", 16: "Q"}[typ]
+        if tag == 258:  # count-3 SHORT fits a BigTIFF 8-byte inline field
+            payload = struct.pack("<3H", 16, 16, 16)
+        elif tag == 273:
+            payload = struct.pack("<Q", data_off)
+        else:
+            payload = struct.pack("<" + fmt * cnt, *([val] * cnt))
+        payload = payload.ljust(8, b"\0")
+        body += struct.pack("<HHQ", tag, typ, cnt) + payload
+    body += struct.pack("<Q", 0)
+    with open(path, "wb") as f:
+        f.write(header + body + extra + data)
+
+
+def test_bigtiff_read(tmp_path):
+    arr = (RNG.random((13, 17, 3)) * 65535).astype(np.uint16)
+    p = str(tmp_path / "big.tif")
+    _write_bigtiff(p, arr)
+    back = io.imread(p)
+    np.testing.assert_array_equal(back, arr)
+
+
+def _write_tiled_tiff(path, arr, tile=16, compression=1):
+    """Hand-rolled classic little-endian tiled TIFF (8-bit RGB)."""
+    h, w, spp = arr.shape
+    ta, td = -(-w // tile), -(-h // tile)
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = np.zeros((tile, tile, spp), np.uint8)
+            block = arr[ty * tile : ty * tile + tile, tx * tile : tx * tile + tile]
+            t[: block.shape[0], : block.shape[1]] = block
+            raw = t.tobytes()
+            tiles.append(io._encode_lzw_py(raw) if compression == 5 else raw)
+    n = len(tiles)
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, None), (259, 3, 1, compression),
+        (262, 3, 1, 2), (277, 3, 1, spp), (284, 3, 1, 1),
+        (322, 4, 1, tile), (323, 4, 1, tile),
+        (324, 4, n, None), (325, 4, n, None),
+    ]
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    nifd = len(tags)
+    extra_off = 8 + 2 + nifd * 12 + 4
+    extra = struct.pack("<3H", 8, 8, 8)
+    off_arr_off = extra_off + len(extra)
+    cnt_arr_off = off_arr_off + 4 * n
+    data_off = cnt_arr_off + 4 * n
+    offsets, counts, pos = [], [], data_off
+    for t in tiles:
+        offsets.append(pos)
+        counts.append(len(t))
+        pos += len(t)
+    extra += struct.pack(f"<{n}I", *offsets) + struct.pack(f"<{n}I", *counts)
+    body = struct.pack("<H", nifd)
+    for tag, typ, cnt, val in tags:
+        if tag == 258:
+            val = extra_off
+        elif tag == 324:
+            val = off_arr_off
+        elif tag == 325:
+            val = cnt_arr_off
+        if typ == 3 and cnt == 1:
+            payload = struct.pack("<HH", val, 0)
+        else:
+            payload = struct.pack("<I", val)
+        body += struct.pack("<HHI", tag, typ, cnt) + payload
+    body += struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(header + body + extra + b"".join(tiles))
+
+
+def test_tiled_tiff_read(tmp_path):
+    """Tiled layout with non-multiple image size (edge-tile padding) and a
+    PIL cross-check, uncompressed and LZW."""
+    from PIL import Image
+
+    arr = (RNG.random((29, 37, 3)) * 255).astype(np.uint8)
+    for comp in (1, 5):
+        p = str(tmp_path / f"tiled_{comp}.tif")
+        _write_tiled_tiff(p, arr, tile=16, compression=comp)
+        back = io.imread(p)
+        np.testing.assert_array_equal(back, arr)
+        with Image.open(p) as im:
+            np.testing.assert_array_equal(np.asarray(im), arr)
+
+
+def test_imread_sequence(tmp_path):
+    arrs = [(RNG.random((6, 7, 3)) * 65535).astype(np.uint16) for _ in range(3)]
+    for i, a in enumerate(arrs):
+        io.imsave(str(tmp_path / f"seq_{i}.tif"), a)
+    stack = io.imread_sequence(str(tmp_path / "seq_*.tif"))
+    np.testing.assert_array_equal(stack, np.stack(arrs))
