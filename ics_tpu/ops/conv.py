@@ -37,7 +37,16 @@ __all__ = ["convolve2d", "convolve_rgb", "fft_autocorrelate_same"]
 # compile cost grows with taps (one HLO slice+fma per tap), so cap it.
 _STENCIL_THRESHOLD_TAPS = 13 * 13
 _FFT_THRESHOLD_TAPS = 31 * 31
-_MXU_THRESHOLD_TAPS = 9 * 9  # bf16-on-TPU only; see _dispatch
+_MXU_THRESHOLD_TAPS = 9 * 9  # TPU-only pallas/mxu tier; see _dispatch
+
+
+def _pallas_band_fits(a3, mk: int, tile_h: int = 128,
+                      budget: int = 14 * 2**20) -> bool:
+    """Whether the banded-VMEM conv's scratch fits the scoped-VMEM budget."""
+    c, _, w = a3.shape
+    band_rows = tile_h + (-(-(mk - 1) // 8) * 8)
+    w_pad = -(-w // 128) * 128
+    return c * band_rows * w_pad * a3.dtype.itemsize < budget
 
 
 def _out_shape(m: int, mk: int, mode: str) -> int:
@@ -225,17 +234,33 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
     if method == "auto":
         taps = mk * nk
+        on_tpu = jax.default_backend() == "tpu"
+        # Measured at 6.3 MP, 9x9 (ms/conv): f32 — pallas 5.9 / stencil 8.6 /
+        # grouped-conv 90 / mxu 26; bf16 — pallas 5.7 / mxu 6.8 / stencil
+        # 7.8.  The banded-VMEM Pallas kernel's cost is ~per-tap, the MXU
+        # backend's grows with kernel ROWS, so for big bf16 kernels mxu wins
+        # (13x13: 8.5 vs stencil 16.2).  Small kernels stay on the fused
+        # XLA stencil — kernel-launch + DMA overheads dominate below ~81
+        # taps and the stencil fuses with its consumers.
         if (
-            a3.dtype == jnp.bfloat16
-            and taps >= _MXU_THRESHOLD_TAPS
-            and nk <= 128
-            and jax.default_backend() == "tpu"
+            on_tpu
+            and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
+            and _pallas_band_fits(a3, mk)
         ):
-            # bf16 matmuls ride the MXU: cost grows with kernel ROWS, not
-            # taps (measured at 6.3 MP: ties the stencil at 9x9, 1.9x at
-            # 13x13, projected ~6x at 45x45).  f32 stays on the stencil —
-            # f32 matmul throughput doesn't cover the 2x128/nk inflation.
-            method = "mxu"
+            # the banded kernel unrolls per tap — cap it at the FFT
+            # threshold so huge kernels (e.g. correlating with a full
+            # residual) never build hour-long Mosaic programs
+            if a3.dtype == jnp.bfloat16 and taps > 121 and nk <= 128:
+                method = "mxu"
+            else:
+                method = "pallas"
+        elif (
+            on_tpu
+            and a3.dtype == jnp.bfloat16
+            and taps > _FFT_THRESHOLD_TAPS
+            and nk <= 128
+        ):
+            method = "mxu"  # rows-linear cost, small program, beats FFT
         elif taps <= _STENCIL_THRESHOLD_TAPS:
             method = "stencil"
         elif taps <= _FFT_THRESHOLD_TAPS:

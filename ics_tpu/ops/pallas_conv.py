@@ -33,7 +33,7 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _make_kernel(mk: int, nk: int, tile_h: int, w_out: int, c: int):
+def _make_kernel(mk: int, nk: int, tile_h: int, w_out: int, c: int, dtype):
     band_rows = tile_h + _round8(mk - 1)
 
     def kernel(a_hbm, psf_ref, out_ref, scratch, sem):
@@ -43,22 +43,27 @@ def _make_kernel(mk: int, nk: int, tile_h: int, w_out: int, c: int):
         )
         band.start()
         band.wait()
+
+        def tap_at(ch, t1, t2):
+            # psf scalars live in SMEM as f32; cast to the compute dtype so
+            # bf16 bands run at the packed 2x VPU rate
+            t = psf_ref[ch, mk - 1 - t1, nk - 1 - t2]
+            return t.astype(dtype)
+
         # Accumulate through the output REF, one tap at a time: a pure-value
         # accumulator keeps every unrolled tap slice live in Mosaic's
         # register allocation (~50 MB of VMEM temps at useful tile sizes).
         for ch in range(c):
-            out_ref[ch] = (
-                scratch[ch, 0:tile_h, 0:w_out] * psf_ref[ch, mk - 1, nk - 1]
-            )
+            out_ref[ch] = scratch[ch, 0:tile_h, 0:w_out] * tap_at(ch, 0, 0)
         for t1 in range(mk):
             for t2 in range(nk):
                 if t1 == 0 and t2 == 0:
                     continue  # initialized above
                 for ch in range(c):
                     # convolution = correlation with the flipped kernel
-                    tap = psf_ref[ch, mk - 1 - t1, nk - 1 - t2]
                     out_ref[ch] += (
-                        scratch[ch, t1 : t1 + tile_h, t2 : t2 + w_out] * tap
+                        scratch[ch, t1 : t1 + tile_h, t2 : t2 + w_out]
+                        * tap_at(ch, t1, t2)
                     )
 
     return kernel
@@ -71,6 +76,7 @@ def _conv_planar(a, k, *, mode, tile_h, interpret):
     _, mk, nk = k.shape
     (plo, phi) = _pads(mk, mode)
     (qlo, qhi) = _pads(nk, mode)
+    k = k.astype(jnp.float32)  # SMEM scalars; cast to compute dtype in-kernel
     a_p = jnp.pad(a, ((0, 0), (plo, phi), (qlo, qhi)))
     out_m = a_p.shape[1] - mk + 1
     out_n = a_p.shape[2] - nk + 1
@@ -87,7 +93,7 @@ def _conv_planar(a, k, *, mode, tile_h, interpret):
     )
 
     out = pl.pallas_call(
-        _make_kernel(mk, nk, tile_h, out_n, c),
+        _make_kernel(mk, nk, tile_h, out_n, c, a.dtype),
         grid=(grid_h,),
         in_specs=[
             # keep the big padded input in HBM explicitly — with ANY the
@@ -98,9 +104,9 @@ def _conv_planar(a, k, *, mode, tile_h, interpret):
         out_specs=pl.BlockSpec(
             (c, tile_h, out_n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((c, grid_h * tile_h, out_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, grid_h * tile_h, out_n), a.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, tile_h + _round8(mk - 1), a_p.shape[2]), jnp.float32),
+            pltpu.VMEM((c, tile_h + _round8(mk - 1), a_p.shape[2]), a.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -117,7 +123,9 @@ def conv_rgb_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a = jnp.asarray(a, jnp.float32)
+    a = jnp.asarray(a)
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        a = a.astype(jnp.float32)
     if k.ndim == 2:
         k = jnp.broadcast_to(k[..., jnp.newaxis], (*k.shape, a.shape[-1]))
     a_pl = jnp.moveaxis(a, -1, 0)
