@@ -230,6 +230,36 @@ def _conv_mxu(a: jax.Array, k: jax.Array, mode: str, precision) -> jax.Array:
     return out.astype(a.dtype)
 
 
+def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array:
+    """Banded-VMEM Pallas conv with a vmap fallback.
+
+    Mosaic cannot lower the kernel's HBM input spec under a mapped batch
+    axis, so a ``custom_vmap`` rule reroutes BATCHED calls to the fused XLA
+    stencil (same math) while plain calls get the fast kernel.
+    """
+    from jax.custom_batching import custom_vmap
+
+    from ics_tpu.ops.pallas_conv import _conv_planar
+
+    @custom_vmap
+    def run(a, k):
+        return _conv_planar(
+            a, k, mode=mode, tile_h=128,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, a, k):  # noqa: ANN001
+        ab, kb = in_batched
+        out = jax.vmap(
+            lambda x, y: _conv_stencil(x, y, mode),
+            in_axes=(0 if ab else None, 0 if kb else None),
+        )(a, k)
+        return out, True
+
+    return run(a3, k3)
+
+
 def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
     if method == "auto":
@@ -270,14 +300,7 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     if method == "stencil":
         return _conv_stencil(a3, k3, mode)
     if method == "pallas":
-        # banded-VMEM kernel: one HBM pass regardless of tap count (opt-in;
-        # see ops/pallas_conv.py for why it is not in 'auto' yet)
-        from ics_tpu.ops.pallas_conv import _conv_planar
-
-        return _conv_planar(
-            a3, k3, mode=mode, tile_h=128,
-            interpret=jax.default_backend() != "tpu",
-        )
+        return _conv_pallas_vmappable(a3, k3, mode)
     if method == "mxu":
         return _conv_mxu(a3, k3, mode, precision)
     if method == "direct":

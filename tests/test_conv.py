@@ -1,6 +1,7 @@
 """Convolution semantics vs scipy.signal.convolve (ref uses scipy directly,
 lib/deconvolution.pyx:478,491,558,571, and fft_slice cropping :102-126)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -76,3 +77,16 @@ def test_next_fast_len():
                 while y % p == 0:
                     y //= p
             assert y != 1
+
+
+def test_pallas_conv_under_vmap_falls_back():
+    """Mosaic can't lower the banded kernel under a batch axis; the
+    custom_vmap rule must reroute to the stencil with identical results."""
+    rng = np.random.default_rng(9)
+    batch = jnp.asarray(rng.random((2, 40, 52, 3)), jnp.float32)
+    k = jnp.asarray(rng.random((9, 9, 3)) / 81.0, jnp.float32)
+    out = jax.jit(
+        jax.vmap(lambda x: convolve_rgb(x, k, "same", "pallas"))
+    )(batch)
+    want = convolve_rgb(batch[0], k, "same", "stencil")
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want), atol=1e-6)
