@@ -46,6 +46,7 @@ def _cmd_deblur(args) -> int:
         psf_path=args.psf,
         save_psf_path=args.save_psf,
         precision=args.precision,
+        nonblind_levels=args.nonblind_levels,
     )
     return 0
 
@@ -143,6 +144,12 @@ def main(argv=None) -> int:
     p.add_argument("--preview", action="store_true")
     p.add_argument("--iterations", type=int, default=200)
     p.add_argument("--solver", default="mm", choices=["mm", "pam", "pd"])
+    p.add_argument("--nonblind-levels", default="all",
+                   choices=["all", "final"],
+                   help="run the non-blind pass at every pyramid scale "
+                        "(reference parity) or only at full resolution "
+                        "(faster; the reference author's own commented-out "
+                        "variant)")
     p.add_argument("--precision", default="exact",
                    choices=["exact", "mixed", "fast"],
                    help="exact=f32 reference parity; mixed=bf16 convs + f32 "

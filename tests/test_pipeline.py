@@ -155,3 +155,25 @@ def test_deblur_module_16bit_input(tmp_path):
 
     saved = imread(str(tmp_path / "x16.tif"))
     assert saved.dtype == np.uint16
+
+
+def test_nonblind_levels_final_skips_coarse_scales():
+    rng = np.random.default_rng(4)
+    pic = np.clip(
+        np.kron(60 + 140 * rng.random((8, 8, 3)), np.ones((8, 8, 1))), 0, 255
+    ).astype(np.uint8)
+    stats_all, stats_final = [], []
+    deblur_module(pic, "a", None, 5, mask_size=25, iterations=2,
+                  verbose=False, stats_out=stats_all)
+    deblur_module(pic, "b", None, 5, mask_size=25, iterations=2,
+                  verbose=False, stats_out=stats_final,
+                  nonblind_levels="final")
+    n_blind = sum(1 for s in stats_all if s["case"] == "blind")
+    assert sum(1 for s in stats_final if s["case"] == "blind") == n_blind
+    assert sum(1 for s in stats_all if s["case"] == "non-blind") == n_blind
+    finals = [s for s in stats_final if s["case"] == "non-blind"]
+    assert len(finals) == 1 and finals[0]["scale"] == 1.0
+
+    with pytest.raises(ValueError):
+        deblur_module(pic, "c", None, 5, mask_size=25, iterations=1,
+                      verbose=False, nonblind_levels="some")
