@@ -40,13 +40,18 @@ _FFT_THRESHOLD_TAPS = 31 * 31
 _MXU_THRESHOLD_TAPS = 9 * 9  # TPU-only pallas/mxu tier; see _dispatch
 
 
-def _pallas_band_fits(a3, mk: int, tile_h: int = 128,
-                      budget: int = 14 * 2**20) -> bool:
-    """Whether the banded-VMEM conv's scratch fits the scoped-VMEM budget."""
+def _pallas_tile_h(a3, mk: int, budget: int = 13 * 2**20) -> int | None:
+    """Largest row-tile whose band scratch PLUS output block fits the
+    16 MB scoped-VMEM budget (with headroom), or None if none does."""
     c, _, w = a3.shape
-    band_rows = tile_h + (-(-(mk - 1) // 8) * 8)
     w_pad = -(-w // 128) * 128
-    return c * band_rows * w_pad * a3.dtype.itemsize < budget
+    item = a3.dtype.itemsize
+    for tile_h in (128, 64, 32):
+        band_rows = tile_h + (-(-(mk - 1) // 8) * 8)
+        need = c * w_pad * item * (band_rows + tile_h)
+        if need < budget:
+            return tile_h
+    return None
 
 
 def _out_shape(m: int, mk: int, mode: str) -> int:
@@ -241,10 +246,12 @@ def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array
 
     from ics_tpu.ops.pallas_conv import _conv_planar
 
+    tile_h = _pallas_tile_h(a3, k3.shape[1]) or 32
+
     @custom_vmap
     def run(a, k):
         return _conv_planar(
-            a, k, mode=mode, tile_h=128,
+            a, k, mode=mode, tile_h=tile_h,
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -275,7 +282,7 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
         if (
             on_tpu
             and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
-            and _pallas_band_fits(a3, mk)
+            and _pallas_tile_h(a3, mk) is not None
         ):
             # the banded kernel unrolls per tap — cap it at the FFT
             # threshold so huge kernels (e.g. correlating with a full
