@@ -333,9 +333,15 @@ def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
     raise NotImplementedError(f"TIFF compression {compression}")
 
 
-def imread(path: str) -> np.ndarray:
+def imread(path: str, memmap: bool = False) -> np.ndarray:
     """Read a TIFF: classic or BigTIFF, strip or tile layout,
-    uncompressed / PackBits / LZW, 8/16-bit, either byte order."""
+    uncompressed / PackBits / LZW, 8/16-bit, either byte order.
+
+    ``memmap=True`` returns a read-only ``np.memmap`` view of the pixel
+    data without loading it (the analog of the reference's
+    ``tifffile.memmap``, ref lib/tifffile.py:479); requires an uncompressed
+    strip layout with contiguous strips.
+    """
     with open(path, "rb") as f:
         raw = f.read()
     byte_order = raw[:2]
@@ -379,6 +385,24 @@ def imread(path: str) -> np.ndarray:
         raise NotImplementedError(f"{bps}-bit TIFF not supported")
 
     dtype = np.dtype(en + ("u1" if bps == 8 else "u2"))
+
+    if memmap:
+        if _TILE_OFFSETS in tags or compression != 1 or predictor != 1:
+            raise ValueError(
+                "memmap requires an uncompressed, unpredicted strip layout"
+            )
+        offsets = values(_STRIP_OFFSETS)
+        counts = values(_STRIP_BYTE_COUNTS)
+        for o, c_, prev_o, prev_c in zip(
+            offsets[1:], counts[1:], offsets, counts
+        ):
+            if o != prev_o + prev_c:
+                raise ValueError("memmap requires contiguous strips")
+        shape = (height, width, spp) if spp > 1 else (height, width)
+        return np.memmap(
+            path, dtype=dtype, mode="r", offset=offsets[0], shape=shape
+        )
+
     out = np.empty((height, width * spp), dtype=dtype)
 
     def undo_pred(rows, nrows, ncols):

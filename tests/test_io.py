@@ -260,3 +260,19 @@ def test_imread_sequence(tmp_path):
         io.imsave(str(tmp_path / f"seq_{i}.tif"), a)
     stack = io.imread_sequence(str(tmp_path / "seq_*.tif"))
     np.testing.assert_array_equal(stack, np.stack(arrs))
+
+
+def test_imread_memmap(tmp_path):
+    """memmap=True maps the pixels without loading (ref tifffile.memmap
+    analog) and rejects layouts that can't be mapped."""
+    arr = (RNG.random((21, 33, 3)) * 65535).astype(np.uint16)
+    p = str(tmp_path / "mm.tif")
+    io.imsave(p, arr)
+    mm = io.imread(p, memmap=True)
+    assert isinstance(mm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm), arr)
+
+    pc = str(tmp_path / "mm_lzw.tif")
+    io.imsave(pc, arr, compression="lzw")
+    with pytest.raises(ValueError):
+        io.imread(pc, memmap=True)
