@@ -38,7 +38,8 @@ from ics_tpu.utils.color import (
     rgb_to_hsv,
     hsv_to_rgb,
 )
-from ics_tpu.utils.io import save, load_image, imread, imsave
+from ics_tpu.utils.cache import enable_persistent_cache
+from ics_tpu.utils.io import save, load_image, imread, imread_sequence, imsave
 
 __all__ = [
     "uniform_kernel",
@@ -70,4 +71,6 @@ __all__ = [
     "load_image",
     "imread",
     "imsave",
+    "imread_sequence",
+    "enable_persistent_cache",
 ]
