@@ -25,6 +25,19 @@ def _cmd_deblur(args) -> int:
     if args.blur_width is None and args.psf is None:
         raise SystemExit("deblur: either --blur-width or --psf is required")
 
+    mesh = None
+    if args.shard:
+        import jax
+
+        from ics_tpu.parallel.mesh import make_mesh
+
+        if args.shard > len(jax.devices()):
+            raise SystemExit(
+                f"deblur: --shard {args.shard} exceeds the "
+                f"{len(jax.devices())} available devices"
+            )
+        mesh = make_mesh(args.shard)
+
     pic = load_image(args.input)
     name = os.path.splitext(os.path.basename(args.input))[0] + args.suffix
     deblur_module(
@@ -47,6 +60,7 @@ def _cmd_deblur(args) -> int:
         save_psf_path=args.save_psf,
         precision=args.precision,
         nonblind_levels=args.nonblind_levels,
+        mesh=mesh,
     )
     return 0
 
@@ -155,6 +169,9 @@ def main(argv=None) -> int:
                    help="exact=f32 reference parity; mixed=bf16 convs + f32 "
                         "residual (~2.3x on large frames, SSIM>=0.999); "
                         "fast=all-bf16")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="tile the full-frame non-blind solves by rows over "
+                        "the first N devices (GSPMD halo exchange over ICI)")
     p.add_argument("--suffix", default="-deblurred")
     p.set_defaults(fn=_cmd_deblur)
 

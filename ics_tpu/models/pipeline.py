@@ -14,6 +14,7 @@ level shapes repeat across runs, so programs compile once.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -100,6 +101,8 @@ def deblur_module(
     precision: str = "exact",
     stats_out: list | None = None,
     nonblind_levels: str = "all",
+    mesh=None,
+    shard_axis: str = "tile",
 ) -> np.ndarray:
     """Blind deblurring API (parity: ref deconvolve.py:66-368).
 
@@ -121,6 +124,14 @@ def deblur_module(
     speedup on large frames, but it IS a quality trade: on the
     crop-blured fixture it loses ~1.6 dB PSNR vs ground truth compared to
     the parity schedule.
+
+    ``mesh``: a ``jax.sharding.Mesh`` (1-D, axis ``shard_axis``) to tile the
+    full-frame non-blind solves by image rows across chips — GSPMD inserts
+    the convolution halo exchanges and turns the solver's reductions into
+    collectives (see ``ics_tpu.parallel.tiling``).  The blind mask-window
+    solves stay on one device (they are a few hundred pixels square); only
+    the large-frame levels, where the memory and FLOPs live, shard.  Only
+    the 'mm' solver supports this.
 
     ``psf_path`` / ``save_psf_path``: the PSF-reuse workflow the reference
     README *describes* but never implemented (ref README.md:131-133 "saving
@@ -184,6 +195,8 @@ def deblur_module(
         raise ValueError(f"unknown solver {solver!r} (use 'mm', 'pam' or 'pd')")
     if nonblind_levels not in ("all", "final"):
         raise ValueError("nonblind_levels must be 'all' or 'final'")
+    if mesh is not None and solver != "mm":
+        raise ValueError("mesh sharding is only supported by the 'mm' solver")
 
     MK = blur_width
     M, N = pic.shape[0], pic.shape[1]
@@ -384,7 +397,21 @@ def deblur_module(
                     deblured_image = pad_edge(
                         deblured_image, ((pad, pad), (pad, pad))
                     )
-                    res = solver_fn(
+                    if mesh is not None:
+                        # Shard the full-frame solve by rows across the mesh
+                        # (GSPMD halo exchange + collective reductions).
+                        from ics_tpu.parallel.tiling import (
+                            sharded_richardson_lucy,
+                        )
+
+                        full_solver = functools.partial(
+                            sharded_richardson_lucy,
+                            mesh=mesh,
+                            axis=shard_axis,
+                        )
+                    else:
+                        full_solver = solver_fn
+                    res = full_solver(
                         temp_blurry_image,
                         deblured_image,
                         psf_copy,
@@ -398,7 +425,9 @@ def deblur_module(
                         lambd=lambd,
                         blind=False,
                         config=solver_cfg,
-                        **({"verbose": verbose} if solver == "mm" else {}),
+                        **(
+                            {"verbose": verbose} if solver == "mm" else {}
+                        ),
                     )
                     deblured_image = res.u
 

@@ -100,6 +100,7 @@ def sharded_richardson_lucy(
     blind: bool = True,
     correlation: bool = False,
     config: RLConfig | None = None,
+    verbose: bool = False,
 ):
     """Run the RL-MM solver with the image tiled by rows across ``mesh``.
 
@@ -133,7 +134,17 @@ def sharded_richardson_lucy(
             conv_method="direct",
             psf_grad="conv",  # pallas_call does not partition under GSPMD
             inner_loop="xla",
+            dtype=cfg.dtype,
         ),
     )
     u_out, u_full, psf_out, image_out, stats, _ = run(image, u, psf, weights)
-    return RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats, u_full=u_full)
+    res = RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats, u_full=u_full)
+    if verbose:
+        if res.converged:
+            print("Convergence after %i iterations." % res.iterations)
+        else:
+            print(
+                "Did not converge after %i iterations. Don't use the result."
+                % res.iterations
+            )
+    return res

@@ -169,3 +169,40 @@ def test_batched_per_lane_stopping():
         iters.append(single.iterations)
     # the scenario must actually exercise divergent stopping points
     assert len(set(iters)) > 1, iters
+
+
+def test_pipeline_mesh_matches_single_device():
+    """deblur_module(mesh=...) shards the full-frame non-blind levels and
+    must reproduce the single-device pipeline (smooth fixture — see
+    test_sharded_solver_matches_single_device for why)."""
+    from ics_tpu import deblur_module
+
+    base = RNG.random((80, 88, 3))
+    k = gaussian_kernel(9, 2.0)
+    smooth = np.stack(
+        [sig.convolve(base[..., c], k, mode="valid") for c in range(3)],
+        axis=-1,
+    )[:61, :65]
+    pic = (np.clip(smooth, 0.2, 0.9) * 255).astype(np.uint8)
+
+    kw = dict(
+        blur_width=5, mask=[30, 32], mask_size=31, display=False,
+        tolerance=0.1, quality="normal", preview=False, blur="static",
+        iterations=3, verbose=False,
+    )
+    single = deblur_module(pic, "t", None, **kw)
+    sharded = deblur_module(pic, "t", None, mesh=make_mesh(4), **kw)
+    np.testing.assert_allclose(sharded, single, atol=0.51)  # 16-bit ulps
+
+
+def test_pipeline_mesh_rejects_non_mm():
+    import pytest
+
+    from ics_tpu import deblur_module
+
+    with pytest.raises(ValueError, match="mesh"):
+        deblur_module(
+            np.zeros((32, 32, 3), np.uint8), "t", None, blur_width=3,
+            mask=[16, 16], mask_size=7, solver="pam", mesh=make_mesh(2),
+            verbose=False,
+        )
