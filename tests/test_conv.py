@@ -90,3 +90,30 @@ def test_pallas_conv_under_vmap_falls_back():
     )(batch)
     want = convolve_rgb(batch[0], k, "same", "stencil")
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want), atol=1e-6)
+
+
+def test_pallas_tile_sizing_fits_scoped_vmem():
+    """Band scratch + DOUBLE-BUFFERED output blocks must fit the 16 MB
+    scoped-VMEM limit — under-counting the second out buffer produced a
+    compile-time VMEM OOM (by 450 KB) on real v5e at 24 MP bf16."""
+    import ml_dtypes
+
+    from ics_tpu.ops.conv import _pallas_tile_h
+
+    class Arr:
+        def __init__(self, shape, dt):
+            self.shape, self.dtype = shape, np.dtype(dt)
+
+    for shape, dt in [
+        ((3, 4003, 6005), ml_dtypes.bfloat16),  # the 24 MP bench level
+        ((3, 4003, 6005), np.float32),
+        ((3, 2005, 3005), ml_dtypes.bfloat16),
+        ((3, 2005, 3005), np.float32),
+    ]:
+        tile_h = _pallas_tile_h(Arr(shape, dt), 9)
+        assert tile_h is not None
+        c, _, w = shape
+        w_pad = -(-w // 128) * 128
+        band = tile_h + 8
+        need = c * w_pad * np.dtype(dt).itemsize * (band + 2 * tile_h)
+        assert need < 16 * 2**20, (shape, dt, tile_h, need)
