@@ -47,13 +47,16 @@ def _pallas_tile_h(a3, mk: int, budget: int = 13 * 2**20) -> int | None:
     The output block counts TWICE: Pallas double-buffers out blocks to
     overlap the grid-step output copy with compute.  (Under-counting this
     made 24 MP frames exceed the scoped-vmem limit by 450 KB at tile 128 —
-    a compile-time OOM on real v5e.)"""
+    a compile-time OOM on real v5e.)  The kernel's fori_loop carry adds a
+    rolled single-channel band copy plus the tile-sized accumulator."""
     c, _, w = a3.shape
     w_pad = -(-w // 128) * 128
     item = a3.dtype.itemsize
     for tile_h in (128, 64, 32):
         band_rows = tile_h + (-(-(mk - 1) // 8) * 8)
-        need = c * w_pad * item * (band_rows + 2 * tile_h)
+        need = c * w_pad * item * (band_rows + 2 * tile_h) + 2 * w_pad * item * (
+            band_rows + tile_h
+        )
         if need < budget:
             return tile_h
     return None

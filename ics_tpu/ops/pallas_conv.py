@@ -11,8 +11,11 @@ scipy ``valid`` semantics on a pre-padded input (``same``/``full`` are
 zero-pads of ``valid``, using the same centering rule as ops/conv.py).
 Planar (C, H, W) layout; the PSF lives in SMEM and taps are scalar splats
 (Mosaic cannot broadcast a (C,1,1) vector over sublanes and lanes).
-Opt-in via ``conv_method='pallas'`` — kept off ``auto`` until the remote
-Mosaic compile cost (~minutes per shape) is acceptable in the default path.
+Default for 81-961-tap kernels on TPU (``conv_method='auto'``): the
+fori_loop tap-row structure keeps the Mosaic program small enough to
+compile in seconds per frame shape (the fully-unrolled round-2 version
+took 2-30 minutes per pyramid-level width on this host's chipless AOT
+compiler — the dominant cold-start cost of the whole pipeline).
 """
 
 from __future__ import annotations
@@ -44,27 +47,37 @@ def _make_kernel(mk: int, nk: int, tile_h: int, w_out: int, c: int, dtype):
         band.start()
         band.wait()
 
-        def tap_at(ch, t1, t2):
-            # psf scalars live in SMEM as f32; cast to the compute dtype so
-            # bf16 bands run at the packed 2x VPU rate
-            t = psf_ref[ch, mk - 1 - t1, nk - 1 - t2]
-            return t.astype(dtype)
-
-        # Accumulate through the output REF, one tap at a time: a pure-value
-        # accumulator keeps every unrolled tap slice live in Mosaic's
-        # register allocation (~50 MB of VMEM temps at useful tile sizes).
+        # Tap ROWS iterate a fori_loop carrying a row-rolled copy of the
+        # band (at step t1 the window scratch[t1:t1+tile_h] is the STATIC
+        # slice rolled[0:tile_h] — Mosaic rejects non-8-aligned dynamic
+        # sublane starts); tap COLUMNS are static lane offsets, unrolled.
+        # This keeps the Mosaic program O(nk) instead of O(mk*nk): the
+        # fully-unrolled tap loop compiled in 2-30 MINUTES at large frame
+        # widths (the per-level cold-start cost of round 2's pipeline),
+        # the fori version in 2-14 s, at the same measured runtime
+        # (5.1 vs 5.3 ms per 9x9 conv at 6.3 MP f32 on v5e).  Wrapped rows
+        # are never read: max t1 is mk-1 and rolled[0:tile_h] =
+        # scratch[t1:t1+tile_h] stays in bounds.
         for ch in range(c):
-            out_ref[ch] = scratch[ch, 0:tile_h, 0:w_out] * tap_at(ch, 0, 0)
-        for t1 in range(mk):
-            for t2 in range(nk):
-                if t1 == 0 and t2 == 0:
-                    continue  # initialized above
-                for ch in range(c):
+
+            def row(t1, carry, ch=ch):
+                rolled, acc = carry
+                for t2 in range(nk):
+                    # psf scalars live in SMEM as f32; cast to the compute
+                    # dtype so bf16 bands run at the packed 2x VPU rate.
                     # convolution = correlation with the flipped kernel
-                    out_ref[ch] += (
-                        scratch[ch, t1 : t1 + tile_h, t2 : t2 + w_out]
-                        * tap_at(ch, t1, t2)
-                    )
+                    tap = psf_ref[ch, mk - 1 - t1, nk - 1 - t2].astype(dtype)
+                    acc = acc + rolled[0:tile_h, t2 : t2 + w_out] * tap
+                rolled = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
+                return rolled, acc
+
+            _, acc = jax.lax.fori_loop(
+                0,
+                mk,
+                row,
+                (scratch[ch], jnp.zeros((tile_h, w_out), dtype)),
+            )
+            out_ref[ch] = acc
 
     return kernel
 
