@@ -182,17 +182,24 @@ def _conv_fft(a: jax.Array, k: jax.Array, mode: str, fast_len: bool) -> jax.Arra
 
 
 def _conv_mxu(a: jax.Array, k: jax.Array, mode: str, precision) -> jax.Array:
-    """MXU-mapped convolution via column blocking ("space-to-depth").
+    """MXU-mapped convolution via block-banded batched matmuls.
 
-    The per-channel stencil runs on the VPU (one FMA per tap per element —
-    measured ~10% of VPU peak, the large-frame cost ceiling).  Reformulated,
-    the same conv becomes a DENSE 128-channel convolution the TPU's matrix
-    unit executes natively: split the width into 128-column blocks, treat
-    the 128 in-block positions as feature channels, and express the column
-    shifts as a (taps_y, 2, 128, 128) mixing kernel per image channel
-    (grouped conv, group size 128).  FLOPs inflate by ~2*128/nk_x, but the
-    MXU's throughput advantage over the VPU more than covers it for the
-    PSF sizes this pipeline uses.
+    The per-channel stencil runs on the VPU (one FMA per tap per element,
+    plus a lane rotation per tap — the large-frame cost ceiling).  Here the
+    width splits into 128-lane blocks and the column taps become two
+    128x128 banded mixing matrices per tap row: for output block j,
+
+        out_blk[j] = in_blk[j] @ B0[t1] + in_blk[j+1] @ B1[t1]
+
+    where ``B0[r, c] = kf[t1, r-c]`` (main band) and ``B1`` carries the
+    taps that cross the block boundary.  Both operands are plain reshapes
+    of contiguous rows — (C, H, nb, 128) views — so each tap row costs two
+    MXU-shaped batched matmuls (M = H*nb, K = N = 128, batch = C) and no
+    gather/space-to-depth transpose.  FLOPs inflate by 2*128/nk, which the
+    MXU's ~25x throughput edge over the VPU more than covers for the PSF
+    sizes this pipeline uses.  (An earlier grouped-``lax.conv``
+    formulation of the same idea lowered poorly — 6.8 ms vs this one's
+    sub-4 ms for a 9x9 bf16 conv at 6.3 MP on v5e.)
 
     a: (C, H, W); k: (C, MK, NK), NK <= 128.  Any ``mode``.
     """
@@ -204,42 +211,42 @@ def _conv_mxu(a: jax.Array, k: jax.Array, mode: str, precision) -> jax.Array:
     (plo, phi) = _pads(mk, mode)
     (qlo, qhi) = _pads(nk, mode)
     padded = jnp.pad(a, ((0, 0), (plo, phi), (qlo, qhi)))
-    hp = padded.shape[1]
     out_m = m + plo + phi - mk + 1
     out_n = n + qlo + qhi - nk + 1
     nb = -(-out_n // B)  # output blocks
+    # nb+1 blocks of input so the boundary-crossing matmul stays in bounds
     pad_right = (nb + 1) * B - padded.shape[2]
     x = jnp.pad(padded, ((0, 0), (0, 0), (0, max(pad_right, 0))))
-    if pad_right < 0:  # keep exactly nb+1 blocks (halo block included)
+    if pad_right < 0:
         x = x[:, :, : (nb + 1) * B]
-    # features = c*B + ji at spatial position (h, block)
-    x_blocks = x.reshape(c, hp, nb + 1, B).transpose(1, 2, 0, 3)
-    x_blocks = x_blocks.reshape(1, hp, nb + 1, c * B)
 
-    # mixing kernel: K[dy, s, ji, c*B + jo] = kf[c, dy, ji + s*B - jo]
+    # banded mixing matrices per channel and tap row: (C, MK, 2, B, B)
     kf = jnp.flip(k, axis=(1, 2))  # true convolution
-    jo = jnp.arange(B)
-    ji = jnp.arange(B)
-    s = jnp.arange(2)
-    dx = ji[None, :, None] + s[:, None, None] * B - jo[None, None, :]  # (2,B,B)
-    valid = (dx >= 0) & (dx < nk)
-    dxc = jnp.clip(dx, 0, nk - 1)
-    # kf[c, dy, dxc] -> (C, MK, 2, B, B)
-    mix = jnp.where(valid[None, None], kf[:, :, dxc], 0)
-    mix = mix.transpose(1, 2, 3, 0, 4).reshape(mk, 2, B, c * B)
+    r_idx = jnp.arange(B)
+    t2 = r_idx[:, None] - r_idx[None, :]  # in-block tap offset r - c
+    mix = []
+    for s in range(2):
+        dx = t2 + s * B
+        valid = (dx >= 0) & (dx < nk)
+        dxc = jnp.clip(dx, 0, nk - 1)
+        mix.append(jnp.where(valid[None, None], kf[:, :, dxc], 0))
+    mix0, mix1 = (mm.astype(a.dtype) for mm in mix)
 
-    out = lax.conv_general_dilated(
-        x_blocks,
-        mix.astype(a.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (1, out_m, nb, c*B)
-    out = out[0].reshape(out_m, nb, c, B).transpose(2, 0, 1, 3)
-    out = out.reshape(c, out_m, nb * B)[:, :, :out_n]
+    dn = (((3,), (1,)), ((0,), (0,)))  # contract lanes, batch channels
+    acc = None
+    for t1 in range(mk):
+        rows = lax.slice(x, (0, t1, 0), (c, t1 + out_m, x.shape[2]))
+        blk0 = rows[:, :, : nb * B].reshape(c, out_m, nb, B)
+        blk1 = rows[:, :, B:].reshape(c, out_m, nb, B)
+        term = lax.dot_general(
+            blk0, mix0[:, t1], dn, precision=precision,
+            preferred_element_type=jnp.float32,
+        ) + lax.dot_general(
+            blk1, mix1[:, t1], dn, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        acc = term if acc is None else acc + term
+    out = acc.reshape(c, out_m, nb * B)[:, :, :out_n]
     return out.astype(a.dtype)
 
 
@@ -280,25 +287,22 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     if method == "auto":
         taps = mk * nk
         on_tpu = jax.default_backend() == "tpu"
-        # Measured at 6.3 MP, 9x9 (ms/conv): f32 — pallas 5.9 / stencil 8.6 /
-        # grouped-conv 90 / mxu 26; bf16 — pallas 5.7 / mxu 6.8 / stencil
-        # 7.8.  The banded-VMEM Pallas kernel's cost is ~per-tap, the MXU
-        # backend's grows with kernel ROWS, so for big bf16 kernels mxu wins
-        # (13x13: 8.5 vs stencil 16.2).  Small kernels stay on the fused
-        # XLA stencil — kernel-launch + DMA overheads dominate below ~81
-        # taps and the stencil fuses with its consumers.
+        # Measured on v5e, 9x9 (ms/conv): 6.3 MP — pallas(fori) bf16 3.6 /
+        # f32 5.1, mxu-banded bf16 9.2 / f32 16.6, stencil bf16 6.7 /
+        # f32 48; 24 MP — pallas bf16 10.7 / f32 16.6, mxu bf16 30.5.
+        # The banded-VMEM Pallas kernel wins its whole range (the MXU
+        # reformulation's block reshapes and f32 accumulator cost more HBM
+        # traffic than the matrix unit saves in FLOP time).  Small kernels
+        # stay on the fused XLA stencil — kernel-launch + DMA overheads
+        # dominate below ~81 taps and the stencil fuses with consumers.
         if (
             on_tpu
             and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
             and _pallas_tile_h(a3, mk) is not None
         ):
-            # the banded kernel unrolls per tap — cap it at the FFT
-            # threshold so huge kernels (e.g. correlating with a full
-            # residual) never build hour-long Mosaic programs
-            if a3.dtype == jnp.bfloat16 and taps > 121 and nk <= 128:
-                method = "mxu"
-            else:
-                method = "pallas"
+            # capped at the FFT threshold so huge kernels (e.g. correlating
+            # with a full residual) never build giant Mosaic tap loops
+            method = "pallas"
         elif (
             on_tpu
             and a3.dtype == jnp.bfloat16
