@@ -209,6 +209,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_tv_denoise)
 
     args = parser.parse_args(argv)
+    # Cross-process compile reuse (the reference's "FFTW wisdom" analog,
+    # ref README.md:135-136).  Must go through jax.config.update — the env
+    # var is snapshotted too early when a sitecustomize imports jax first.
+    from ics_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

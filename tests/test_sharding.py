@@ -192,7 +192,11 @@ def test_pipeline_mesh_matches_single_device():
     )
     single = deblur_module(pic, "t", None, **kw)
     sharded = deblur_module(pic, "t", None, mesh=make_mesh(4), **kw)
-    np.testing.assert_allclose(sharded, single, atol=0.51)  # 16-bit ulps
+    # uint16 output: sharding's reduction-order float noise may cross a
+    # truncation boundary — allow 1 LSB of 65535
+    np.testing.assert_allclose(
+        sharded.astype(np.int32), single.astype(np.int32), atol=1
+    )
 
 
 def test_pipeline_mesh_rejects_non_mm():
