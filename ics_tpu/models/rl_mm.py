@@ -34,10 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ics_tpu.ops.conv import _dispatch as _conv_dispatch
-from ics_tpu.ops.conv import fft_autocorrelate_same
-from ics_tpu.ops.pallas_correlate import _corr_planar
-from ics_tpu.ops.pallas_solver import _inner_loop, fits_vmem
+from ics_tpu.ops.conv import convolve_rgb, fft_autocorrelate_same
+from ics_tpu.ops.pallas_correlate import psf_gradient
+from ics_tpu.ops.pallas_solver import fits_vmem, inner_loop_pallas
+from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.reductions import whiteness_weights
 from ics_tpu.ops.tv import tv_op
 
@@ -149,23 +149,11 @@ class RLResult:
 
 
 def _per_channel_max(a: jax.Array) -> jax.Array:
-    """Per-channel max of a planar (C, H, W) array, broadcastable back."""
-    return jnp.max(a, axis=(1, 2), keepdims=True)
+    return jnp.max(a, axis=(0, 1))
 
 
 def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
-    return jnp.max(jnp.abs(a), axis=(1, 2), keepdims=True)
-
-
-def _rot180_p(a: jax.Array) -> jax.Array:
-    """Spatial 180° rotation of a planar (C, H, W) array (ref :242-252)."""
-    return jnp.flip(a, axis=(1, 2))
-
-
-def _normalize_kernel_p(kern: jax.Array) -> jax.Array:
-    """Planar (C, MK, MK) clamp + per-channel sum-to-1 (ref :47-70)."""
-    kern = jnp.maximum(kern, 0.0)
-    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+    return jnp.max(jnp.abs(a), axis=(0, 1))
 
 
 @functools.partial(
@@ -213,12 +201,6 @@ def _solve(
     use_stopping=True,
     record=False,
 ):
-    # The solver works PLANAR (C, H, W) internally: W rides the 128-lane
-    # axis for every elementwise op and reduction, and — decisively — the
-    # banded Pallas conv's operand layout is planar, so an (H, W, C) carry
-    # would materialize two full-frame transposes around each of the ~10
-    # convolutions per outer iteration (measured as a large share of the
-    # non-conv per-outer cost at 24 MP).  Inputs/outputs stay (H, W, C).
     m, n, _ = image.shape
     u_m, u_n, _ = u.shape
     mk = psf.shape[0]
@@ -227,10 +209,7 @@ def _solve(
     prec = (
         lax.Precision.HIGHEST if conv_precision == "exact" else lax.Precision.DEFAULT
     )
-
-    def conv(a, k, mode):
-        """Planar per-channel convolution (a: (C,H,W), k: (C,MK,NK))."""
-        return _conv_dispatch(a, k, mode, conv_method, prec)
+    conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
     if psf_grad == "auto":
         psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"
     else:
@@ -288,18 +267,12 @@ def _solve(
 
         # 3. TV stencils (order=2 hardcoded at the call sites, ref :495-496).
         # In parity mode TV(ut) is all-zero so these results are dead: skip.
-        # tv_op keeps the reference's (H, W, C) layout; the quality mode
-        # pays the two transposes per stencil.
         if use_tv:
-            u_hwc = jnp.moveaxis(u, 0, -1)
-            tv_u_l1, _ = tv_op(u_hwc, epsilon, order=2, norm=1)
-            tv_u_l2, div = tv_op(u_hwc, epsilon, order=2, norm=2)
-            tv_u_l1 = jnp.moveaxis(tv_u_l1, -1, 0)
-            tv_u_l2 = jnp.moveaxis(tv_u_l2, -1, 0)
-            div = jnp.moveaxis(div, -1, 0)
+            tv_u_l1, _ = tv_op(u, epsilon, order=2, norm=1)
+            tv_u_l2, div = tv_op(u, epsilon, order=2, norm=2)
 
         # 4. depth-of-field mask from the *raw* correlation (ref :499-502)
-        gradu_crop = lax.slice(gradu, (0, pad, pad), (3, pad + m, pad + n))
+        gradu_crop = lax.slice(gradu, (pad, pad, 0), (pad + m, pad + n, 3))
         dof = ((gradu_crop - image) / (gradu_crop + image)) ** 2
         if not blind:
             dof = dof / lambd
@@ -340,32 +313,25 @@ def _solve(
                 / (_per_channel_amaxabs(denoise) + 1e-15)
             )
             denoise_crop = lax.slice(
-                denoise, (0, pad, pad), (3, pad + m, pad + n)
+                denoise, (pad, pad, 0), (pad + m, pad + n, 3)
             )
             image = image - dt_img * denoise_crop / lambd
 
         # 8. retain the blurry image where deblurring failed (ref :552)
-        u_crop = lax.slice(u, (0, pad, pad), (3, pad + m, pad + n))
+        u_crop = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3))
         u = lax.dynamic_update_slice(
-            u, (1.0 - dof) * u_crop + dof * image, (0, pad, pad)
+            u, (1.0 - dof) * u_crop + dof * image, (pad, pad, 0)
         )
 
         # 9. blind PSF refinement (ref :555-589)
         if blind:
             error = conv(u, psf, mode="valid") - image
             if psf_grad_method == "pallas":
-                # = conv_valid(rot180(u), error): the explicit rot180
-                # cancels against convolution's kernel flip, leaving
-                # rot180(corr_valid(u, error)) — one fused band pass
-                # (ops/pallas_correlate.py), already planar.
-                gradk = _rot180_p(
-                    _corr_planar(
-                        u, error, tile_h=64,
-                        interpret=jax.default_backend() != "tpu",
-                    )
-                )
+                # = conv_valid(rot180(u), error), fused (no rotated copy)
+                gradk = psf_gradient(u, error)
             else:
-                gradk = conv(_rot180_p(u), error, mode="valid")
+                u_rot = rotate_180(u)
+                gradk = conv(u_rot, error, mode="valid")
             dtpsf = (
                 step_factor
                 / mk
@@ -374,10 +340,10 @@ def _solve(
             )
             psf = psf - dtpsf * gradk
             if correlation:
-                psf_mean = jnp.mean(psf, axis=0, keepdims=True)
+                psf_mean = jnp.mean(psf, axis=2, keepdims=True)
                 psf = jnp.broadcast_to(psf_mean, psf.shape)
-            psf = _normalize_kernel_p(psf)
-            psf_rot = _rot180_p(psf)
+            psf = normalize_kernel(psf)
+            psf_rot = rotate_180(psf)
 
         if mixed:
             delta = u - u_start
@@ -388,20 +354,17 @@ def _solve(
 
         if inner_loop_method == "pallas":
             # the whole inner loop as one VMEM-resident kernel (parity mode;
-            # image is a no-op carry there); _inner_loop is planar already
-            u, psf, error = _inner_loop(
-                u, image, psf, step_factor, lambd,
+            # image is a no-op carry there)
+            u, psf, error = inner_loop_pallas(
+                u, image, psf,
+                step_factor=step_factor, lambd=lambd,
                 blind=blind, correlation=correlation,
-                interpret=jax.default_backend() != "tpu",
             )
         else:
             ut = u
             if use_tv:
-                ut_hwc = jnp.moveaxis(ut, 0, -1)
-                tv_ut_l1, _ = tv_op(ut_hwc, epsilon, order=2, norm=1)
-                tv_ut_l2, _ = tv_op(ut_hwc, epsilon, order=2, norm=2)
-                tv_ut_l1 = jnp.moveaxis(tv_ut_l1, -1, 0)
-                tv_ut_l2 = jnp.moveaxis(tv_ut_l2, -1, 0)
+                tv_ut_l1, _ = tv_op(ut, epsilon, order=2, norm=1)
+                tv_ut_l2, _ = tv_op(ut, epsilon, order=2, norm=2)
             else:
                 # all-zero TV(ut): the as-checked-in state (ref :464-465)
                 tv_ut_l1 = tv_ut_l2 = jnp.zeros((1, 1, 1), dtype=f32)
@@ -420,11 +383,8 @@ def _solve(
         # Residual-whiteness convergence metric (Almeida & Figueiredo;
         # ref :620-654).  `error` is the state at the end of the inner loop:
         # post-DoF PSF residual when blind, the step-1 residual otherwise.
-        # The FFT runs on the (H, W, C) patch — the mask window is small, and
-        # fft_autocorrelate_same documents why it avoids a planar batch.
         if use_stopping:
-            patch = lax.slice(error, (0, top, left), (3, bottom, right)).astype(f32)
-            patch = jnp.moveaxis(patch, 0, -1)
+            patch = lax.slice(error, (top, left, 0), (bottom, right, 3)).astype(f32)
             test = (patch - jnp.mean(patch)) / jnp.std(patch)
             test = test / jnp.max(jnp.abs(test))
             ac = fft_autocorrelate_same(test)
@@ -443,9 +403,9 @@ def _solve(
 
         if record:
             u_win = lax.slice(
-                u, (0, top + pad, left + pad), (3, bottom - pad, right - pad)
+                u, (top + pad, left + pad, 0), (bottom - pad, right - pad, 3)
             )
-            err_win = lax.slice(error, (0, top, left), (3, bottom, right))
+            err_win = lax.slice(error, (top, left, 0), (bottom, right, 3))
             hist = {
                 "M_r": hist["M_r"].at[it].set(m_r_new),
                 "Hu": hist["Hu"]
@@ -462,12 +422,11 @@ def _solve(
         _, _, _, _, _, _, _, it, stop, _ = state
         return jnp.logical_and(it < iterations, jnp.logical_not(stop))
 
-    # hwc -> planar at the jit boundary (fused into the first consumers)
-    u = jnp.moveaxis(u, -1, 0).astype(compute_dtype)
-    image = jnp.moveaxis(image, -1, 0).astype(compute_dtype)
-    psf = jnp.moveaxis(psf, -1, 0).astype(compute_dtype)
-    psf_rot0 = _rot180_p(psf)  # ref :441
-    error0 = jnp.zeros((3, m, n), dtype=compute_dtype)  # mixed carries f32
+    u = u.astype(compute_dtype)
+    image = image.astype(compute_dtype)
+    psf = psf.astype(compute_dtype)
+    psf_rot0 = rotate_180(psf)  # ref :441
+    error0 = jnp.zeros((m, n, 3), dtype=compute_dtype)  # mixed carries f32
     hist_len = iterations if record else 1
     hist0 = {
         "M_r": jnp.zeros((hist_len,), f32),
@@ -492,26 +451,19 @@ def _solve(
 
     # Final stats over the mask window (ref :600-601)
     u_win = lax.slice(
-        u, (0, top + pad, left + pad), (3, bottom - pad, right - pad)
+        u, (top + pad, left + pad, 0), (bottom - pad, right - pad, 3)
     ).astype(f32)
     varu = jnp.std(u_win) ** 2
-    err_win = lax.slice(error, (0, top, left), (3, bottom, right)).astype(f32)
+    err_win = lax.slice(error, (top, left, 0), (bottom, right, 3)).astype(f32)
     hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
 
-    u_out = jnp.moveaxis(
-        lax.slice(u, (0, pad, pad), (3, pad + m, pad + n)), 0, -1
-    ).astype(f32)  # ref :675
+    u_out = lax.slice(u, (pad, pad, 0), (pad + m, pad + n, 3)).astype(
+        f32
+    )  # ref :675
     stats = jnp.stack(
         [it.astype(f32), stop.astype(f32), m_r.astype(f32), hu, varu]
     )
-    return (
-        u_out,
-        jnp.moveaxis(u, 0, -1).astype(f32),
-        jnp.moveaxis(psf, 0, -1).astype(f32),
-        jnp.moveaxis(image, 0, -1).astype(f32),
-        stats,
-        hist,
-    )
+    return u_out, u.astype(f32), psf.astype(f32), image.astype(f32), stats, hist
 
 
 def richardson_lucy_MM(

@@ -177,16 +177,3 @@ def test_nonblind_levels_final_skips_coarse_scales():
     with pytest.raises(ValueError):
         deblur_module(pic, "c", None, 5, mask_size=25, iterations=1,
                       verbose=False, nonblind_levels="some")
-
-
-def test_deblur_module_returns_uint16():
-    """The pipeline downloads the final frame as uint16 (what the 16-bit
-    TIFF save casts to; 2x fewer bytes over slow host links)."""
-    rng = np.random.default_rng(11)
-    pic = (rng.random((41, 45, 3)) * 255).astype(np.uint8)
-    out = deblur_module(
-        pic, "d", None, 3, mask=[20, 22], mask_size=9, iterations=1,
-        verbose=False,
-    )
-    assert out.dtype == np.uint16
-    assert out.shape == pic.shape
