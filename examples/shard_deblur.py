@@ -46,9 +46,14 @@ def main() -> int:
     args = ap.parse_args()
 
     enable_persistent_cache()
-    n = args.shard or len(jax.devices())
+    avail = len(jax.devices())
+    n = args.shard or avail
+    if not 1 <= n <= avail:
+        raise SystemExit(
+            f"--shard {n} must be between 1 and the {avail} available devices"
+        )
     mesh = make_mesh(n)
-    print(f"mesh: {n} x {jax.devices()[0].platform} "
+    print(f"mesh: {mesh.devices.size} x {jax.devices()[0].platform} "
           f"({[str(d) for d in mesh.devices.flat]})")
 
     pic = load_image(args.input)

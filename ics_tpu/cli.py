@@ -31,9 +31,9 @@ def _cmd_deblur(args) -> int:
 
         from ics_tpu.parallel.mesh import make_mesh
 
-        if args.shard > len(jax.devices()):
+        if args.shard < 1 or args.shard > len(jax.devices()):
             raise SystemExit(
-                f"deblur: --shard {args.shard} exceeds the "
+                f"deblur: --shard {args.shard} must be between 1 and the "
                 f"{len(jax.devices())} available devices"
             )
         mesh = make_mesh(args.shard)

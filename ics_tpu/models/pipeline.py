@@ -484,12 +484,24 @@ def deblur_module(
 
     deblured_image = jnp.clip(deblured_image, 0.0, 1.0)
     deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
+    # A diverged solve propagates NaN through clip/pow, and the uint16 cast
+    # below would silently map it to an arbitrary integer — check BEFORE
+    # casting (the scalar fetch is free next to the frame download).
+    has_nan = bool(jnp.any(jnp.isnan(deblured_image)))
     # Cast to uint16 ON DEVICE: the host tunnel moves ~10 MB/s, so the final
     # fetch of a 24 MP frame costs 30 s as float32 but 12 s as uint16 — and
     # uint16 is what the 16-bit TIFF save casts to anyway (ref :346-352).
     deblured_image = np.asarray(
         (deblured_image * (2**16 - 1)).astype(jnp.uint16)
     )  # single download
+    if has_nan:
+        # the reference's equivalent diagnostic is the in-solver
+        # "has NaN after DoF correction" print (ref lib/deconvolution.pyx:
+        # 671-672); surface it at the pipeline level too
+        print(
+            "WARNING: result contains NaN (solver diverged) — "
+            "those pixels are undefined in the 16-bit output."
+        )
 
     if preview:
         filename = filename + "-preview"

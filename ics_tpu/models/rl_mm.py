@@ -539,22 +539,31 @@ def richardson_lucy_MM(
             k: np.asarray(v)[: result.iterations] for k, v in hist.items()
         }
     if verbose:
-        if result.converged:
-            print("Convergence after %i iterations." % result.iterations)
-        else:
-            print(
-                "Did not converge after %i iterations. Don't use the result."
-                % result.iterations
-            )
-        print(
-            "Stats : autocovariance = %.6f | lamdba = %.0f | residual = %.6f | variance/noise = %.6f"
-            % (
-                1000 * result.M_r / ((bottom - top) * (right - left) * 3),
-                lambd,
-                result.Hu,
-                result.varu,
-            )
-        )
-        if np.any(np.isnan(np.asarray(u_out))):
-            print("has NaN after DoF correction")
+        print_solver_report(result, lambd, top, bottom, left, right)
     return result
+
+
+def print_solver_report(
+    result: RLResult, lambd: float, top: int, bottom: int, left: int, right: int
+) -> None:
+    """The reference's end-of-solve diagnostics (ref lib/deconvolution.pyx:
+    661-672): convergence verdict, stats line, NaN warning.  Shared by the
+    single-device and sharded solver entry points."""
+    if result.converged:
+        print("Convergence after %i iterations." % result.iterations)
+    else:
+        print(
+            "Did not converge after %i iterations. Don't use the result."
+            % result.iterations
+        )
+    print(
+        "Stats : autocovariance = %.6f | lamdba = %.0f | residual = %.6f | variance/noise = %.6f"
+        % (
+            1000 * result.M_r / ((bottom - top) * (right - left) * 3),
+            lambd,
+            result.Hu,
+            result.varu,
+        )
+    )
+    if np.any(np.isnan(np.asarray(result.u))):
+        print("has NaN after DoF correction")

@@ -273,9 +273,19 @@ def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array
     @run.def_vmap
     def _rule(axis_size, in_batched, a, k):  # noqa: ANN001
         ab, kb = in_batched
+        # fused stencil for small kernels; the grouped-conv backend above
+        # the stencil threshold (a vmapped 31x31 stencil would unroll 961
+        # slice+fma HLO ops — the compile blowup the threshold exists to
+        # prevent)
+        taps = k.shape[-2] * k.shape[-1]
+        if taps <= _STENCIL_THRESHOLD_TAPS:
+            inner = lambda x, y: _conv_stencil(x, y, mode)
+        else:
+            inner = lambda x, y: _conv_direct(
+                x, y, mode, lax.Precision.HIGHEST
+            )
         out = jax.vmap(
-            lambda x, y: _conv_stencil(x, y, mode),
-            in_axes=(0 if ab else None, 0 if kb else None),
+            inner, in_axes=(0 if ab else None, 0 if kb else None)
         )(a, k)
         return out, True
 

@@ -18,14 +18,16 @@ over the ``tile`` mesh axis.  Two mechanisms:
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ics_tpu.models.rl_mm import RLConfig, RLResult, _solve
+from ics_tpu.models.rl_mm import RLConfig, RLResult, _solve, print_solver_report
 from ics_tpu.ops.conv import convolve_rgb
 from ics_tpu.ops.reductions import whiteness_weights
 
@@ -66,9 +68,16 @@ def sharded_convolve_rgb(image, kernel, mesh: Mesh, axis: str = "tile"):
     return jax.jit(fn)(image, kernel)
 
 
-def _constrained_solve(mesh, axis, solve_kwargs):
+@functools.lru_cache(maxsize=64)
+def _constrained_solve(mesh, axis, solve_kwargs_items):
     """jit wrapper that row-shards the carry via with_sharding_constraint
-    (supports uneven row counts, unlike explicit device_put shardings)."""
+    (supports uneven row counts, unlike explicit device_put shardings).
+
+    lru-cached on (mesh, axis, kwargs): the pipeline calls this once per
+    pyramid level per run, and a fresh ``jax.jit`` closure would re-trace
+    identical shapes every time (the persistent compile cache would catch
+    the XLA compile, but not the trace/lower cost)."""
+    solve_kwargs = dict(solve_kwargs_items)
     row = NamedSharding(mesh, P(axis, None, None))
     rep = NamedSharding(mesh, P(None, None, None))
 
@@ -119,32 +128,33 @@ def sharded_richardson_lucy(
     run = _constrained_solve(
         mesh,
         axis,
-        dict(
-            top=int(top),
-            bottom=int(bottom),
-            left=int(left),
-            right=int(right),
-            tau=float(tau),
-            step_factor=float(step_factor),
-            lambd=float(lambd),
-            iterations=int(iterations),
-            blind=bool(blind),
-            correlation=bool(correlation),
-            use_tv=cfg.use_tv,
-            conv_method="direct",
-            psf_grad="conv",  # pallas_call does not partition under GSPMD
-            inner_loop="xla",
-            dtype=cfg.dtype,
+        (
+            ("top", int(top)),
+            ("bottom", int(bottom)),
+            ("left", int(left)),
+            ("right", int(right)),
+            ("tau", float(tau)),
+            ("step_factor", float(step_factor)),
+            ("lambd", float(lambd)),
+            ("iterations", int(iterations)),
+            ("blind", bool(blind)),
+            ("correlation", bool(correlation)),
+            ("use_tv", cfg.use_tv),
+            ("conv_method", "direct"),
+            ("conv_precision", cfg.conv_precision),
+            # pallas_call does not partition under GSPMD
+            ("psf_grad", "conv"),
+            ("inner_loop", "xla"),
+            ("dtype", cfg.dtype),
+            ("record", cfg.record_metrics),
         ),
     )
-    u_out, u_full, psf_out, image_out, stats, _ = run(image, u, psf, weights)
+    u_out, u_full, psf_out, image_out, stats, hist = run(image, u, psf, weights)
     res = RLResult(u=u_out, psf=psf_out, image=image_out, stats=stats, u_full=u_full)
+    if cfg.record_metrics:
+        res.trajectory = {
+            k: np.asarray(v)[: res.iterations] for k, v in hist.items()
+        }
     if verbose:
-        if res.converged:
-            print("Convergence after %i iterations." % res.iterations)
-        else:
-            print(
-                "Did not converge after %i iterations. Don't use the result."
-                % res.iterations
-            )
+        print_solver_report(res, lambd, top, bottom, left, right)
     return res

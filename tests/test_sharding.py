@@ -210,3 +210,26 @@ def test_pipeline_mesh_rejects_non_mm():
             mask=[16, 16], mask_size=7, solver="pam", mesh=make_mesh(2),
             verbose=False,
         )
+
+
+def test_sharded_solver_honors_record_metrics():
+    """RLConfig.record_metrics / conv_precision must survive the sharded
+    entry point (they were silently dropped once)."""
+    from ics_tpu.models.rl_mm import RLConfig
+
+    mk = 3
+    pad = mk // 2
+    m = 33
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(
+        np.float32
+    )
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    res = sharded_richardson_lucy(
+        image, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1, 0.0,
+        mesh=make_mesh(4), iterations=3, step_factor=1e-3, lambd=1000.0,
+        blind=False, config=RLConfig(record_metrics=True),
+    )
+    assert res.trajectory is not None
+    assert len(res.trajectory["M_r"]) == res.iterations
+    assert np.isfinite(res.trajectory["M_r"]).all()
