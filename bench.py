@@ -55,7 +55,10 @@ def _run_case(pic, kwargs, label):
     t0 = time.time()
     out = deblur_module(pic, label, None, **kwargs, stats_out=stats)
     elapsed = time.time() - t0
-    assert np.isfinite(out).all()
+    # out is uint16 (can't carry NaN) — a diverged solve shows as NaN in
+    # the per-level solver stats instead
+    assert out.dtype == np.uint16
+    assert all(np.isfinite(s["result"].M_r) for s in stats), "solver diverged"
     iters = sum(s["result"].iterations for s in stats)  # fetched post-timing
     for s in stats:
         r = s["result"]

@@ -170,6 +170,13 @@ def deblur_module(
     step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
 
     loaded_psf = None
+    if psf_path is not None and save_psf_path is not None:
+        # with a loaded PSF the blind phase (the only producer of a new
+        # estimate) is skipped, so the save would silently never happen
+        raise ValueError(
+            "psf_path and save_psf_path are mutually exclusive: loading a "
+            "PSF skips the blind phase, so there is no new estimate to save"
+        )
     if psf_path is not None:
         from ics_tpu.models.checkpoint import load_checkpoint
 

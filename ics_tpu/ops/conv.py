@@ -261,7 +261,12 @@ def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array
 
     from ics_tpu.ops.pallas_conv import _conv_planar
 
-    tile_h = _pallas_tile_h(a3, k3.shape[1]) or 32
+    tile_h = _pallas_tile_h(a3, k3.shape[1])
+    if tile_h is None:
+        # no row tile fits the scoped-VMEM budget (extremely wide frames):
+        # same math on the fused stencil instead of a guaranteed Mosaic
+        # VMEM OOM at the end of a long compile
+        return _conv_stencil(a3, k3, mode)
 
     @custom_vmap
     def run(a, k):

@@ -179,8 +179,11 @@ def _vibrance_ppolys():
 
         pps = []
         for y in (_VIBRANCE_Y1, _VIBRANCE_Y2):
-            spl = interpolate.UnivariateSpline(_VIBRANCE_X, y)
-            pp = interpolate.PPoly.from_spline(spl._eval_args)
+            # splrep is the public FITPACK entry with the same smoothing
+            # fit as UnivariateSpline (whose tck lives only in a private
+            # attribute); default s = len(w) matches UnivariateSpline's.
+            tck = interpolate.splrep(_VIBRANCE_X, y, s=len(_VIBRANCE_X))
+            pp = interpolate.PPoly.from_spline(tck)
             pps.append((np.asarray(pp.x), np.asarray(pp.c)))
         _VIBRANCE_PP = tuple(pps)
     return _VIBRANCE_PP

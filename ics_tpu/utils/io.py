@@ -19,6 +19,7 @@ I/O is host-side by design — TPU sees only device arrays.
 from __future__ import annotations
 
 import struct
+import sys
 from os.path import join
 
 import numpy as np
@@ -390,6 +391,14 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
         if _TILE_OFFSETS in tags or compression != 1 or predictor != 1:
             raise ValueError(
                 "memmap requires an uncompressed, unpredicted strip layout"
+            )
+        native = {"little": "<", "big": ">"}[sys.byteorder]
+        if dtype.itemsize > 1 and dtype.byteorder not in ("=", "|", native):
+            # byteswapping needs a copy, which defeats the zero-copy
+            # contract — the normal imread path returns native order
+            raise ValueError(
+                "memmap requires native byte order; this TIFF is "
+                "opposite-endian — use imread(memmap=False)"
             )
         offsets = values(_STRIP_OFFSETS)
         counts = values(_STRIP_BYTE_COUNTS)

@@ -90,10 +90,11 @@ def test_cli_psf_save_and_reuse(small_image, tmp_path, capsys):
         "--psf", ckpt,
     ]) == 0
     printed = capsys.readouterr().out
-    assert "blind DECONVOLUTION" in printed
-    assert "BLIND DECONVOLUTION" not in printed.replace(
-        "NON-BLIND DECONVOLUTION", ""
-    )  # only the non-blind phase ran
+    # only the non-blind phase ran: its banner appears, the blind one
+    # doesn't (the pipeline prints "===== <case> DECONVOLUTION =====" in
+    # lowercase, so match the exact banner prefixes)
+    assert "===== non-blind DECONVOLUTION" in printed
+    assert "===== blind DECONVOLUTION" not in printed
     out = imread(f"{dest2}/in-deblurred.tif")
     assert out.shape == arr.shape and out.dtype == np.uint16
 
