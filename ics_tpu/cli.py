@@ -166,9 +166,11 @@ def main(argv=None) -> int:
                         "variant)")
     p.add_argument("--precision", default="exact",
                    choices=["exact", "mixed", "fast"],
-                   help="exact=f32 reference parity; mixed=bf16 convs + f32 "
-                        "residual (~2.3x on large frames, SSIM>=0.999); "
-                        "fast=all-bf16")
+                   help="exact=f32 reference parity (recommended); "
+                        "mixed=bf16 convs + f32 residual (SSIM>=0.999 at "
+                        "moderate sizes, but long full-resolution solves "
+                        "can NaN through the epsilon-free DoF division — "
+                        "the pipeline warns if so); fast=all-bf16")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="tile the full-frame non-blind solves by rows over "
                         "the first N devices (GSPMD halo exchange over ICI)")

@@ -64,7 +64,15 @@ class RLConfig:
     #                VPU/HBM win is), but the iterate u, its update, the
     #                regularization difference (u - ut) and every reduction
     #                in float32, so sub-ulp updates don't wash out.  Meets
-    #                the 0.999-SSIM bar (tested);
+    #                the 0.999-SSIM bar at mask/crop scales (tested).
+    #                CAVEAT at very large frames: the DoF term divides by
+    #                (gradu + image) with no epsilon (reference parity),
+    #                and bf16-quantized gradu makes an exact-zero
+    #                denominator vastly more likely — measured on the
+    #                24 MP bench frame, a long (200-outer) full-res level
+    #                seeds a NaN that spreads frame-wide, where float32
+    #                stays finite AND converges.  Prefer 'float32' for
+    #                long full-resolution solves;
     #   'bfloat16' — everything in bf16 (fastest; SSIM ~0.990 — opt-in for
     #                throughput-first work).
     # The whiteness metric, step scalars and outputs stay float32 in every
