@@ -61,11 +61,17 @@ def _div(py, px):
 
 
 def _psf_otf(psf, m, n):
-    """rfft2 of the PSF zero-padded to (m, n) with its center at (0, 0)."""
+    """rfft2 of the PSF zero-padded to (m, n) with its center at (0, 0).
+
+    The center tap is ``(mk-1)//2`` — the same scipy 'same'-mode centering
+    convention as the spatial backends (ops/conv.py::_pads) and the MM/PAM
+    solvers, so an even-sized PSF does not shift the forward model by one
+    pixel relative to them (odd sizes are unaffected)."""
     mk = psf.shape[0]
+    c = (mk - 1) // 2
     p = jnp.zeros((m, n, psf.shape[-1]), psf.dtype)
     p = lax.dynamic_update_slice(p, psf, (0, 0, 0))
-    p = jnp.roll(p, shift=(-(mk // 2), -(mk // 2)), axis=(0, 1))
+    p = jnp.roll(p, shift=(-c, -c), axis=(0, 1))
     return jnp.fft.rfft2(p, axes=(0, 1))
 
 
@@ -115,6 +121,12 @@ def _solve_pd(
         den = jnp.abs(otf) ** 2 + 1.0 / tau
         return jnp.fft.irfft2(num / den, s=(m, n), axes=(0, 1)).astype(f32)
 
+    def residual(u, otf):
+        """Circular-model residual k∗u − f (matches the data term)."""
+        u_hat = jnp.fft.rfft2(u, axes=(0, 1))
+        synth = jnp.fft.irfft2(otf * u_hat, s=(m, n), axes=(0, 1)).astype(f32)
+        return synth - image
+
     def inner_step(carry, _):
         u, u_bar, py, px, psf, otf, error = carry
 
@@ -132,15 +144,19 @@ def _solve_pd(
         u = data_prox(v, otf)
         u_bar = u + theta * (u - u_prev)
 
-        # circular residual for the whiteness metric / PSF update
-        u_hat = jnp.fft.rfft2(u, axes=(0, 1))
-        synth = jnp.fft.irfft2(otf * u_hat, s=(m, n), axes=(0, 1)).astype(f32)
-        error = synth - image
-
         if blind:
-            # dE/dk = u* (k*u - f): correlate u with the residual (valid on
-            # the PSF support), via the spatial path on the small kernel.
-            u_rot = rotate_180(jnp.pad(u, ((mk // 2, mk // 2), (mk // 2, mk // 2), (0, 0))))
+            # dE/dk = u ⋆ (k∗u − f): correlate u with the circular residual.
+            # u is WRAP-padded so the gradient is the true adjoint of the
+            # circular forward model (a zero pad would inject a seam-driven
+            # bias into every border tap).
+            error = residual(u, otf)
+            u_rot = rotate_180(
+                jnp.pad(
+                    u,
+                    ((mk // 2, mk // 2), (mk // 2, mk // 2), (0, 0)),
+                    mode="wrap",
+                )
+            )
             gradk = convolve_rgb(u_rot, error, mode="valid")
             dtpsf = (
                 step_factor
@@ -163,6 +179,11 @@ def _solve_pd(
         (u, u_bar, py, px, psf, otf, error), _ = lax.scan(
             inner_step, (u, u_bar, py, px, psf, otf, error), None, length=_INNER_ITER
         )
+        if not blind:
+            # only the post-scan residual is ever consumed (whiteness patch
+            # + final Hu) — computing it per inner step would double the
+            # solve's FFT count for nothing
+            error = residual(u, otf)
         if use_stopping:
             patch = lax.slice(error, (top, left, 0), (bottom, right, 3))
             test = (patch - jnp.mean(patch)) / jnp.std(patch)
@@ -205,7 +226,12 @@ def _solve_pd(
 
     err_win = lax.slice(error, (top, left, 0), (bottom, right, 3))
     hu = jnp.sum(err_win**2) / ((bottom - top) * (right - left) * 3)
-    u_win = lax.slice(u, (top, left, 0), (bottom, right, 3))
+    # same inset-window convention as the reference / MM / PAM
+    # (ref lib/deconvolution.pyx:600: u[top+pad : bottom-pad, ...])
+    pad = mk // 2
+    u_win = lax.slice(
+        u, (top + pad, left + pad, 0), (bottom - pad, right - pad, 3)
+    )
     varu = jnp.std(u_win) ** 2
     return u, psf, it, stop, m_r, hu, varu
 

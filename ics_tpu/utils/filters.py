@@ -68,8 +68,17 @@ def _bilateral(source, radius: int, std_i, std_s):
 def bilateral_filter(source, radius: int, std_i, std_s, parallel: int = 1):
     """Edge-preserving bilateral filter of a 2-D plane
     (parity: ref lib/utils.py:195-234; ``parallel`` accepted for signature
-    compatibility — parallelism is XLA's problem now)."""
-    del parallel
+    compatibility — parallelism is XLA's problem now).
+
+    On TPU the fused Pallas band kernel runs all (2r+1)² offsets out of
+    VMEM in one HBM pass (ops/pallas_bilateral.py); elsewhere the portable
+    ``lax.scan`` of shifted passes."""
+    if jax.default_backend() == "tpu":
+        from ics_tpu.ops.pallas_bilateral import bilateral_pallas
+
+        return bilateral_pallas(
+            source, int(radius), float(std_i), float(std_s)
+        )
     return _bilateral(jnp.asarray(source, jnp.float32), int(radius), float(std_i), float(std_s))
 
 
