@@ -27,14 +27,24 @@ __all__ = ["bilateral_pallas"]
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):
     inv2si2 = 1.0 / (2.0 * std_i * std_i)
     norm_i = _INV_SQRT_2PI / std_i
+    # Mosaic requires HBM slice extents 8-aligned on the sublane axis —
+    # round the 2r halo up; the overshoot rows are never read.
+    band_rows = tile_h + _round8(2 * radius)
+
+    inv2ss2 = 1.0 / (2.0 * std_s * std_s)
+    norm_s = _INV_SQRT_2PI / std_s
 
     def kernel(hbm_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
         band = pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(i * tile_h, tile_h + 2 * radius)],
+            hbm_ref.at[pl.ds(i * tile_h, band_rows)],
             scratch,
             sem,
         )
@@ -42,26 +52,32 @@ def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):
         band.wait()
 
         center = scratch[radius : radius + tile_h, radius : radius + w]
-        num = jnp.zeros((tile_h, w), jnp.float32)
-        den = jnp.zeros((tile_h, w), jnp.float32)
-        # Static unrolled offset loop: the spatial weight is a compile-time
-        # constant per offset; only the range weight is data-dependent.
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                gs = (
-                    math.exp(-(dy * dy + dx * dx) / (2.0 * std_s * std_s))
-                    * _INV_SQRT_2PI
-                    / std_s
-                )
-                nb = scratch[
-                    radius + dy : radius + dy + tile_h,
-                    radius + dx : radius + dx + w,
-                ]
+
+        # Offset ROWS iterate a fori_loop carrying a row-rolled band (at
+        # step t the window scratch[t : t+tile_h] is the static slice
+        # rolled[0:tile_h]); offset COLUMNS are static lane slices.  A
+        # fully-unrolled (2r+1)^2 loop with value accumulators kept every
+        # tap's temporaries live — 49 MB of scoped VMEM at radius 5 (a
+        # compile-time OOM on real v5e; interpret mode never noticed).
+        def row(t, carry):
+            rolled, num, den = carry
+            dyf = (t - radius).astype(jnp.float32)
+            for dx in range(2 * radius + 1):
+                dxf = float(dx - radius)
+                gs = jnp.exp(-(dyf * dyf + dxf * dxf) * inv2ss2) * norm_s
+                nb = rolled[0:tile_h, dx : dx + w]
                 diff = nb - center
                 gi = jnp.exp(-(diff * diff) * inv2si2) * norm_i
                 wgt = gi * gs
-                num += nb * wgt
-                den += wgt
+                num = num + nb * wgt
+                den = den + wgt
+            rolled = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
+            return rolled, num, den
+
+        zeros = jnp.zeros((tile_h, w), jnp.float32)
+        _, num, den = jax.lax.fori_loop(
+            0, 2 * radius + 1, row, (scratch[...], zeros, zeros)
+        )
         out_ref[...] = num / den
 
     return kernel
@@ -69,12 +85,11 @@ def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "radius", "std_i", "std_s", "tile_h", "interpret"),
+    static_argnames=("h", "w", "radius", "std_i", "std_s", "tile_h", "interpret"),
 )
-def _bilateral_plane(padded, *, h, radius, std_i, std_s, tile_h, interpret):
-    """padded: (H_pad+2r, W+2r) symmetric-padded plane; returns (h, W)."""
-    hp = padded.shape[0] - 2 * radius
-    w = padded.shape[1] - 2 * radius
+def _bilateral_plane(padded, *, h, w, radius, std_i, std_s, tile_h, interpret):
+    """padded: row/lane-aligned symmetric-padded plane; returns (h, w)."""
+    hp = padded.shape[0] - _round8(2 * radius)
     grid_h = hp // tile_h
 
     out = pl.pallas_call(
@@ -86,7 +101,9 @@ def _bilateral_plane(padded, *, h, radius, std_i, std_s, tile_h, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * radius, w + 2 * radius), jnp.float32),
+            pltpu.VMEM(
+                (tile_h + _round8(2 * radius), padded.shape[1]), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -111,11 +128,22 @@ def bilateral_pallas(
     grid_h = -(-h // tile_h)
     h_pad = grid_h * tile_h
     padded = jnp.pad(source, radius, mode="symmetric")
-    # pad rows at the bottom to a tile multiple (values never reach output)
-    padded = jnp.pad(padded, ((0, h_pad - h), (0, 0)), mode="edge")
+    # bottom-pad so every band DMA (tile_h + 8-aligned halo) stays in
+    # bounds, and lane-align the width to 128 for the DMA (extra rows and
+    # columns never reach the output)
+    rows_needed = h_pad + _round8(2 * radius)
+    padded = jnp.pad(
+        padded,
+        (
+            (0, rows_needed - padded.shape[0]),
+            (0, (-padded.shape[1]) % 128),
+        ),
+        mode="edge",
+    )
     return _bilateral_plane(
         padded,
         h=int(h),
+        w=int(w),
         radius=int(radius),
         std_i=float(std_i),
         std_s=float(std_s),
