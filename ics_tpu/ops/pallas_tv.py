@@ -52,9 +52,9 @@ def _make_kernel(epsilon: float, order: int, norm: int, tile_h: int):
         w = wp2 - 2
 
         def sh(di, dj):
-            return jax.lax.dynamic_slice(
-                band, (0, 1 + di, 1 + dj), (c_dim, tile_h, w)
-            )
+            # static slices — Mosaic does not lower the dynamic_slice
+            # primitive (and these offsets are compile-time constants)
+            return band[:, 1 + di : 1 + di + tile_h, 1 + dj : 1 + dj + w]
 
         c = sh(0, 0)
         if order == 2:
