@@ -105,6 +105,8 @@ def batched_deconvolve(
             correlation=correlation,
             use_tv=cfg.use_tv,
             conv_method=cfg.conv_method,
+            conv_precision=cfg.conv_precision,
+            dtype=cfg.dtype,
             psf_grad="conv",  # keep the vmapped path on plain XLA ops
             inner_loop="xla",
             use_stopping=use_stopping,

@@ -221,11 +221,14 @@ def auto_vibrance(src: LABImage) -> LABImage:
 @jax.jit
 def divTV(image):
     """div(TV) via shifted forward/backward differences (working version of
-    the reference's backup ``divTV``, ref lib/utils.py:319-351)."""
+    the reference's backup ``divTV``, ref lib/utils.py:319-351).  Accepts
+    (H, W) planes or (H, W, C) images — trailing axes ride along, like
+    ``gradTVEM`` below."""
     image = jnp.asarray(image, jnp.float32)
+    trail = ((0, 0),) * (image.ndim - 2)
 
     def pad_shift(img, pad_spec, sl):
-        return jnp.pad(img, pad_spec, mode="edge")[sl]
+        return jnp.pad(img, pad_spec + trail, mode="edge")[sl]
 
     grad = jnp.zeros_like(image)
     # forward differences

@@ -39,6 +39,7 @@ _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
 _SAMPLE_FORMAT = 339
 _PREDICTOR = 317
+_EXTRA_SAMPLES = 338
 
 
 def save(pic: np.ndarray, name: str, dest_path: str) -> None:
@@ -170,6 +171,11 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
         (_PLANAR_CONFIG, 3, 1, 1),
         (_SAMPLE_FORMAT, 3, spp, None),
     ]
+    if photometric == 2 and spp == 4:
+        # TIFF 6.0 requires ExtraSamples for channels beyond RGB;
+        # 2 = unassociated alpha (what PIL/libtiff expect for RGBA)
+        entries.append((_EXTRA_SAMPLES, 3, 1, 2))
+        entries.sort()  # IFD entries must be in ascending tag order
     header = struct.pack("<2sHI", b"II", 42, 8)
     ifd_size = 2 + len(entries) * 12 + 4
     # extra arrays (bits-per-sample / sample-format lists) go after the IFD
@@ -343,8 +349,19 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
     ``tifffile.memmap``, ref lib/tifffile.py:479); requires an uncompressed
     strip layout with contiguous strips.
     """
-    with open(path, "rb") as f:
+    import mmap as _mmap
+
+    f = open(path, "rb")
+    try:
+        # memory-map instead of read(): header/IFD parsing touches a few
+        # pages, so imread(memmap=True) never loads the pixel payload (the
+        # zero-copy contract); the normal path faults pages in on demand.
+        raw = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    except (ValueError, OSError):  # zero-length or unmappable file
         raw = f.read()
+        f.close()
+    else:
+        f.close()
     byte_order = raw[:2]
     if byte_order == b"II":
         en = "<"
@@ -382,6 +399,16 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
     planar = values(_PLANAR_CONFIG, [1])[0]
     if planar != 1:
         raise NotImplementedError("planar TIFF not supported")
+    if predictor not in (1, 2):
+        # e.g. 3 = floating-point differencing; silently skipping it would
+        # return garbage pixels
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    sample_format = values(_SAMPLE_FORMAT, [1])[0]
+    if sample_format != 1:  # 1 = unsigned integer; 2/3 = int/float
+        raise NotImplementedError(
+            f"TIFF sample format {sample_format} not supported (unsigned "
+            "integer only)"
+        )
     if bps not in (8, 16):
         raise NotImplementedError(f"{bps}-bit TIFF not supported")
 
@@ -456,7 +483,9 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
             row += nrows
 
     arr = out.reshape(height, width, spp) if spp > 1 else out.reshape(height, width)
-    return arr.astype(dtype.newbyteorder("="))
+    # copy=False: skip the redundant 144 MB copy for the common
+    # native-order case (only opposite-endian files pay the byteswap)
+    return arr.astype(dtype.newbyteorder("="), copy=False)
 
 
 def imread_sequence(pattern: str) -> np.ndarray:
