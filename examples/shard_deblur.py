@@ -41,8 +41,12 @@ def main() -> int:
     ap.add_argument("--mask", type=int, nargs=2, default=None)
     ap.add_argument("--mask-size", type=int, default=255)
     ap.add_argument("--iterations", type=int, default=200)
-    ap.add_argument("--precision", default="mixed",
-                    choices=["exact", "mixed", "fast"])
+    ap.add_argument("--precision", default="exact",
+                    choices=["exact", "mixed", "fast"],
+                    help="exact f32 is the recommended default; 'mixed' "
+                         "(bf16 convs) needs the solver's DoF guard on "
+                         "long full-resolution solves — see docs/"
+                         "PERFORMANCE.md precision table")
     args = ap.parse_args()
 
     enable_persistent_cache()

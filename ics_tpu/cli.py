@@ -65,11 +65,44 @@ def _cmd_deblur(args) -> int:
     return 0
 
 
+def _load_unit(path: str, bits: int | None) -> np.ndarray:
+    """Load an image scaled to [0, 1] by its bit depth.
+
+    The reference pipeline normalizes by ``2**bits - 1`` (ref
+    deconvolve.py:97); the aux commands used to hardcode ``/255`` which
+    scaled 16-bit TIFF input 257x wrong.  ``bits=None`` derives the depth
+    from the array dtype (uint8 -> 8, uint16 -> 16; float input is assumed
+    already in [0, 1])."""
+    from ics_tpu.utils.io import load_image
+
+    pic = np.asarray(load_image(path))
+    if bits is None:
+        if pic.dtype == np.uint8:
+            bits = 8
+        elif pic.dtype == np.uint16:
+            bits = 16
+        elif np.issubdtype(pic.dtype, np.floating):
+            return pic.astype(np.float32)
+        else:
+            raise SystemExit(
+                f"cannot derive bit depth from dtype {pic.dtype}; pass --bits"
+            )
+    return pic.astype(np.float32) / float(2**bits - 1)
+
+
+def _save_16bit(out: np.ndarray, input_path: str, suffix: str, dest: str) -> None:
+    from ics_tpu.utils.io import save
+
+    out = np.clip(np.asarray(out), 0.0, 1.0) * (2**16 - 1)
+    name = os.path.splitext(os.path.basename(input_path))[0] + suffix
+    os.makedirs(dest, exist_ok=True)
+    save(out, name, dest)
+
+
 def _cmd_usm(args) -> int:
     from ics_tpu.utils.filters import USM
-    from ics_tpu.utils.io import load_image, save
 
-    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    pic = _load_unit(args.input, args.bits)
     out = np.stack(
         [
             np.asarray(USM(pic[..., c], args.radius, args.strength, args.amount,
@@ -78,18 +111,14 @@ def _cmd_usm(args) -> int:
         ],
         axis=-1,
     )
-    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
-    name = os.path.splitext(os.path.basename(args.input))[0] + "-usm"
-    os.makedirs(args.dest, exist_ok=True)
-    save(out, name, args.dest)
+    _save_16bit(out, args.input, "-usm", args.dest)
     return 0
 
 
 def _cmd_bilateral(args) -> int:
     from ics_tpu.utils.filters import bilateral_filter
-    from ics_tpu.utils.io import load_image, save
 
-    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    pic = _load_unit(args.input, args.bits)
     out = np.stack(
         [
             np.asarray(bilateral_filter(pic[..., c], args.radius, args.std_i, args.std_s))
@@ -97,39 +126,28 @@ def _cmd_bilateral(args) -> int:
         ],
         axis=-1,
     )
-    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
-    name = os.path.splitext(os.path.basename(args.input))[0] + "-bilateral"
-    os.makedirs(args.dest, exist_ok=True)
-    save(out, name, args.dest)
+    _save_16bit(out, args.input, "-bilateral", args.dest)
     return 0
 
 
 def _cmd_bilateral_lab(args) -> int:
     from ics_tpu.utils.filters import bilateral_lab
-    from ics_tpu.utils.io import load_image, save
 
-    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    pic = _load_unit(args.input, args.bits)
     out = np.asarray(
         bilateral_lab(pic, args.radius, args.std_i, args.std_s,
                       luminance_only=not args.all_channels)
     )
-    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
-    name = os.path.splitext(os.path.basename(args.input))[0] + "-bilateral-lab"
-    os.makedirs(args.dest, exist_ok=True)
-    save(out, name, args.dest)
+    _save_16bit(out, args.input, "-bilateral-lab", args.dest)
     return 0
 
 
 def _cmd_tv_denoise(args) -> int:
     from ics_tpu.models.tv_denoise import tv_denoise
-    from ics_tpu.utils.io import load_image, save
 
-    pic = np.asarray(load_image(args.input), np.float32) / 255.0
+    pic = _load_unit(args.input, args.bits)
     out = np.asarray(tv_denoise(pic, weight=args.weight, iterations=args.iterations))
-    out = np.clip(out, 0.0, 1.0) * (2**16 - 1)
-    name = os.path.splitext(os.path.basename(args.input))[0] + "-tv-denoise"
-    os.makedirs(args.dest, exist_ok=True)
-    save(out, name, args.dest)
+    _save_16bit(out, args.input, "-tv-denoise", args.dest)
     return 0
 
 
@@ -177,6 +195,13 @@ def main(argv=None) -> int:
     p.add_argument("--suffix", default="-deblurred")
     p.set_defaults(fn=_cmd_deblur)
 
+    def _bits_arg(sp):
+        sp.add_argument(
+            "--bits", type=int, default=None,
+            help="input bit depth for the [0,1] normalization (ref "
+                 "deconvolve.py:97); default derives it from the file dtype "
+                 "(uint8 -> 8, uint16 -> 16)")
+
     p = sub.add_parser("usm", help="unsharp mask")
     p.add_argument("input")
     p.add_argument("dest")
@@ -184,6 +209,7 @@ def main(argv=None) -> int:
     p.add_argument("--strength", type=float, default=8.0)
     p.add_argument("--amount", type=float, default=1.0)
     p.add_argument("--method", default="bessel", choices=["bessel", "gauss"])
+    _bits_arg(p)
     p.set_defaults(fn=_cmd_usm)
 
     p = sub.add_parser("bilateral", help="bilateral denoise (RGB channels)")
@@ -192,6 +218,7 @@ def main(argv=None) -> int:
     p.add_argument("--radius", type=int, default=5)
     p.add_argument("--std-i", type=float, default=0.1)
     p.add_argument("--std-s", type=float, default=5.0)
+    _bits_arg(p)
     p.set_defaults(fn=_cmd_bilateral)
 
     p = sub.add_parser("bilateral-lab", help="bilateral denoise in CIELAB")
@@ -201,6 +228,7 @@ def main(argv=None) -> int:
     p.add_argument("--std-i", type=float, default=5.0)
     p.add_argument("--std-s", type=float, default=5.0)
     p.add_argument("--all-channels", action="store_true")
+    _bits_arg(p)
     p.set_defaults(fn=_cmd_bilateral_lab)
 
     p = sub.add_parser("tv-denoise", help="Chambolle TV denoise")
@@ -208,6 +236,7 @@ def main(argv=None) -> int:
     p.add_argument("dest")
     p.add_argument("--weight", type=float, default=0.1)
     p.add_argument("--iterations", type=int, default=50)
+    _bits_arg(p)
     p.set_defaults(fn=_cmd_tv_denoise)
 
     args = parser.parse_args(argv)

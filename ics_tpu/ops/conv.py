@@ -264,9 +264,14 @@ def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array
     tile_h = _pallas_tile_h(a3, k3.shape[1])
     if tile_h is None:
         # no row tile fits the scoped-VMEM budget (extremely wide frames):
-        # same math on the fused stencil instead of a guaranteed Mosaic
-        # VMEM OOM at the end of a long compile
-        return _conv_stencil(a3, k3, mode)
+        # same math on a portable backend instead of a guaranteed Mosaic
+        # VMEM OOM at the end of a long compile.  Tap-count rule matches
+        # the vmap rule below: the stencil unrolls one slice+fma HLO per
+        # tap, so big explicit-'pallas' kernels go to the grouped conv.
+        taps = k3.shape[-2] * k3.shape[-1]
+        if taps <= _STENCIL_THRESHOLD_TAPS:
+            return _conv_stencil(a3, k3, mode)
+        return _conv_direct(a3, k3, mode, lax.Precision.HIGHEST)
 
     @custom_vmap
     def run(a, k):

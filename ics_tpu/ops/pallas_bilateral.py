@@ -22,13 +22,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bilateral_pallas"]
+__all__ = ["bilateral_pallas", "bilateral_tile_h"]
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
 def _round8(n: int) -> int:
     return -(-n // 8) * 8
+
+
+def bilateral_tile_h(h: int, w: int, radius: int, budget: int = 13 * 2**20) -> int | None:
+    """Largest row tile whose VMEM working set fits the 16 MB scoped budget
+    (with headroom), or None if none does.
+
+    Counts everything live at once (the same discipline as
+    ``ops.conv._pallas_tile_h``, which exists because under-counting caused
+    a compile-time VMEM OOM on real v5e at 24 MP): the band scratch, the
+    fori carry's rolled band copy, the num/den accumulators, and the output
+    block TWICE (Pallas double-buffers out blocks across grid steps)."""
+    wp = w + 2 * radius
+    wp += (-wp) % 128  # lane-aligned DMA width
+    item = 4  # the kernel is float32-only
+    for tile_h in (128, 64, 32):
+        band_rows = tile_h + _round8(2 * radius)
+        need = item * (
+            2 * band_rows * wp  # band scratch + rolled fori-carry copy
+            + 2 * tile_h * w  # num/den accumulators
+            + 2 * tile_h * w  # double-buffered output block
+        )
+        if need < budget:
+            return tile_h
+    return None
 
 
 def _make_kernel(radius: int, std_i: float, std_s: float, tile_h: int, w: int):

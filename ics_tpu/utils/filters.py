@@ -71,14 +71,19 @@ def bilateral_filter(source, radius: int, std_i, std_s, parallel: int = 1):
     compatibility — parallelism is XLA's problem now).
 
     On TPU the fused Pallas band kernel runs all (2r+1)² offsets out of
-    VMEM in one HBM pass (ops/pallas_bilateral.py); elsewhere the portable
-    ``lax.scan`` of shifted passes."""
+    VMEM in one HBM pass (ops/pallas_bilateral.py) at the largest row tile
+    whose working set fits the scoped-VMEM budget; elsewhere — or when no
+    tile fits (very wide frames) — the portable ``lax.scan`` of shifted
+    passes."""
     if jax.default_backend() == "tpu":
-        from ics_tpu.ops.pallas_bilateral import bilateral_pallas
+        from ics_tpu.ops.pallas_bilateral import bilateral_pallas, bilateral_tile_h
 
-        return bilateral_pallas(
-            source, int(radius), float(std_i), float(std_s)
-        )
+        h, w = np.shape(source)
+        tile_h = bilateral_tile_h(int(h), int(w), int(radius))
+        if tile_h is not None:
+            return bilateral_pallas(
+                source, int(radius), float(std_i), float(std_s), tile_h=tile_h
+            )
     return _bilateral(jnp.asarray(source, jnp.float32), int(radius), float(std_i), float(std_s))
 
 

@@ -59,6 +59,32 @@ def test_cli_filters(small_image, tmp_path, cmd, suffix):
     assert np.isfinite(out).all()
 
 
+def test_cli_filters_16bit_scaling(small_image, tmp_path):
+    """A 16-bit TIFF input must normalize by 65535, not the old hardcoded
+    255 (which scaled it 257x wrong — ref deconvolve.py:97 honors bits).
+    The same frame stored at 8 and at 16 bits must produce (nearly) the
+    same output; and an explicit --bits override must be honored."""
+    path8, arr = small_image
+    arr16 = (arr.astype(np.uint16) * 257)  # same [0,1] signal at 16 bits
+    path16 = str(tmp_path / "in16.tif")
+    imsave(path16, arr16)
+
+    dest8 = str(tmp_path / "o8")
+    dest16 = str(tmp_path / "o16")
+    assert main(["usm", path8, dest8, "--radius", "3"]) == 0
+    assert main(["usm", path16, dest16, "--radius", "3"]) == 0
+    out8 = imread(f"{dest8}/in-usm.tif").astype(np.float64)
+    out16 = imread(f"{dest16}/in16-usm.tif").astype(np.float64)
+    # 255/65535-quantization only; the old /255 bug made out16 clip to all-max
+    assert np.abs(out8 - out16).max() <= 300
+    assert not np.array_equal(out16, np.full_like(out16, 65535))
+
+    # explicit --bits wins over the dtype-derived depth
+    dest_b = str(tmp_path / "ob")
+    assert main(["usm", path16, dest_b, "--radius", "3", "--bits", "16"]) == 0
+    assert np.array_equal(imread(f"{dest_b}/in16-usm.tif"), out16.astype(np.uint16))
+
+
 def test_cli_rejects_bad_args(small_image, tmp_path, capsys):
     path, _ = small_image
     with pytest.raises(SystemExit):

@@ -92,3 +92,25 @@ def test_bilateral_lab_denoises():
     out = np.asarray(filters.bilateral_lab(noisy, 3, 5.0, 3.0))
     assert out.shape == clean.shape
     assert np.mean((out - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+
+def test_bilateral_tile_h_budget():
+    """The Pallas bilateral tile must shrink with frame width so the VMEM
+    working set (band scratch + rolled fori carry + num/den + double-
+    buffered out block) stays inside the scoped budget — the same
+    discipline as ops.conv._pallas_tile_h (ADVICE r2: tile_h was a fixed
+    128, ~19 MB at 6000-px-wide frames => compile-time OOM on real v5e)."""
+    from ics_tpu.ops.pallas_bilateral import bilateral_tile_h
+
+    # small frames keep the full tile
+    assert bilateral_tile_h(512, 512, 5) == 128
+    # a 6000-px-wide frame must drop below 128 (the advisor's failing case)
+    t = bilateral_tile_h(4000, 6000, 5)
+    assert t is not None and t < 128
+    # the chosen tile's working set actually fits the budget
+    wp = 6000 + 10 + (-(6000 + 10)) % 128
+    band = t + 16
+    need = 4 * (2 * band * wp + 4 * t * 6000)
+    assert need < 13 * 2**20
+    # impossible budget -> None (callers fall back to the portable scan)
+    assert bilateral_tile_h(4000, 6000, 5, budget=1024) is None
