@@ -139,13 +139,17 @@ def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
 def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
     """Write a baseline little-endian TIFF (chunky, single strip).
 
-    Supports (H, W) and (H, W, C) uint8/uint16 arrays;
+    Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
+    pages get SampleFormat 3, which our reader and libtiff both honor);
     ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
     built, pure-Python fallbacks otherwise).
     """
     arr = np.ascontiguousarray(arr)
-    if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
-        raise ValueError(f"imsave supports uint8/uint16, got {arr.dtype}")
+    if arr.dtype not in (
+        np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
+    ):
+        raise ValueError(f"imsave supports uint8/uint16/float32, got {arr.dtype}")
+    sample_format = 3 if arr.dtype.kind == "f" else 1
     if arr.ndim == 2:
         h, w, spp = arr.shape[0], arr.shape[1], 1
         photometric = 1  # BlackIsZero
@@ -191,10 +195,10 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
                 extra += struct.pack(f"<{spp}H", *([bps] * spp))
         elif tag == _SAMPLE_FORMAT:
             if spp * 2 <= 4:
-                value = 1
+                value = sample_format
             else:
                 value = extra_off + len(extra)
-                extra += struct.pack(f"<{spp}H", *([1] * spp))
+                extra += struct.pack(f"<{spp}H", *([sample_format] * spp))
         resolved.append((tag, typ, count, value))
     data_off = extra_off + len(extra)
     resolved = [
@@ -304,7 +308,10 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 8: "h", 9: "i", 17: "q"}
 
 
 def _parse_ifd(raw: bytes, en: str, ifd_off: int, big: bool):
-    """Parse one IFD into {tag: (type, count, payload)}; classic or BigTIFF."""
+    """Parse one IFD into ({tag: (type, count, payload)}, next_ifd_offset);
+    classic or BigTIFF.  ``next_ifd_offset`` is 0 on the last IFD of the
+    chain (the reference walks the same chain via ``TiffPages``, ref
+    lib/tifffile.py:2618)."""
     tags: dict[int, tuple[int, int, bytes]] = {}
     if big:
         (count,) = struct.unpack(en + "Q", raw[ifd_off : ifd_off + 8])
@@ -327,7 +334,12 @@ def _parse_ifd(raw: bytes, en: str, ifd_off: int, big: bool):
             (ptr,) = struct.unpack(en + ("Q" if big else "I"), vfield)
             payload = raw[ptr : ptr + size]
         tags[tag] = (typ, n, payload)
-    return tags
+    next_off_pos = base + count * entry
+    (next_off,) = struct.unpack(
+        en + ("Q" if big else "I"),
+        raw[next_off_pos : next_off_pos + (8 if big else 4)],
+    )
+    return tags, next_off
 
 
 def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
@@ -340,14 +352,20 @@ def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
     raise NotImplementedError(f"TIFF compression {compression}")
 
 
-def imread(path: str, memmap: bool = False) -> np.ndarray:
+def imread(path: str, memmap: bool = False, pages: bool = False):
     """Read a TIFF: classic or BigTIFF, strip or tile layout,
-    uncompressed / PackBits / LZW, 8/16-bit, either byte order.
+    uncompressed / PackBits / LZW, 8/16-bit unsigned, 8/16-bit signed or
+    32/64-bit float samples, either byte order.
+
+    ``pages=True`` walks the whole IFD chain (the reference's ``TiffPages``,
+    ref lib/tifffile.py:2618) and returns an (N, ...) stack when the pages
+    share shape and dtype, else a list of arrays.  The default reads the
+    first page only, warning if more exist.
 
     ``memmap=True`` returns a read-only ``np.memmap`` view of the pixel
     data without loading it (the analog of the reference's
     ``tifffile.memmap``, ref lib/tifffile.py:479); requires an uncompressed
-    strip layout with contiguous strips.
+    strip layout with contiguous strips (first page only).
     """
     import mmap as _mmap
 
@@ -381,8 +399,42 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
     else:
         raise ValueError("not a TIFF file")
 
-    tags = _parse_ifd(raw, en, ifd_off, big)
+    if not pages:
+        tags, next_off = _parse_ifd(raw, en, ifd_off, big)
+        if next_off:
+            import warnings
 
+            warnings.warn(
+                f"{path!r} is a multi-page TIFF; imread returns the first "
+                "page (pass pages=True for the whole chain)",
+                stacklevel=2,
+            )
+        return _read_page(raw, en, big, tags, path, memmap)
+
+    if memmap:
+        raise ValueError("memmap=True reads a single page; drop pages=True")
+    out_pages = []
+    seen = set()
+    while ifd_off and ifd_off not in seen:  # cycle guard on corrupt chains
+        seen.add(ifd_off)
+        tags, ifd_off = _parse_ifd(raw, en, ifd_off, big)
+        out_pages.append(_read_page(raw, en, big, tags, path, False))
+    if len({(p.shape, p.dtype) for p in out_pages}) == 1:
+        return np.stack(out_pages)
+    return out_pages
+
+
+# TIFF SampleFormat (tag 339) x BitsPerSample -> numpy dtype.  1 = unsigned
+# int, 2 = signed int, 3 = IEEE float (the reference reads all of these via
+# its dtype table, ref lib/tifffile.py:479 memmap / TiffPage dtype logic).
+_SAMPLE_DTYPES = {
+    (1, 8): "u1", (1, 16): "u2",
+    (2, 8): "i1", (2, 16): "i2",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     def values(tag, default=None):
         if tag not in tags:
             return default
@@ -404,15 +456,12 @@ def imread(path: str, memmap: bool = False) -> np.ndarray:
         # return garbage pixels
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     sample_format = values(_SAMPLE_FORMAT, [1])[0]
-    if sample_format != 1:  # 1 = unsigned integer; 2/3 = int/float
+    code = _SAMPLE_DTYPES.get((sample_format, bps))
+    if code is None:
         raise NotImplementedError(
-            f"TIFF sample format {sample_format} not supported (unsigned "
-            "integer only)"
+            f"TIFF sample format {sample_format} at {bps} bits not supported"
         )
-    if bps not in (8, 16):
-        raise NotImplementedError(f"{bps}-bit TIFF not supported")
-
-    dtype = np.dtype(en + ("u1" if bps == 8 else "u2"))
+    dtype = np.dtype(en + code)
 
     if memmap:
         if _TILE_OFFSETS in tags or compression != 1 or predictor != 1:

@@ -276,3 +276,84 @@ def test_imread_memmap(tmp_path):
     io.imsave(pc, arr, compression="lzw")
     with pytest.raises(ValueError):
         io.imread(pc, memmap=True)
+
+
+def test_multipage_tiff_read(tmp_path):
+    """IFD-chain walking (the reference's TiffPages, ref lib/tifffile.py:
+    2618): pages=True stacks a PIL/libtiff-written multi-page file; the
+    default returns page 0 with a warning."""
+    from PIL import Image
+
+    frames = [
+        (RNG.random((20, 24, 3)) * 255).astype(np.uint8) for _ in range(4)
+    ]
+    path = str(tmp_path / "multi.tif")
+    ims = [Image.fromarray(f) for f in frames]
+    ims[0].save(path, save_all=True, append_images=ims[1:])
+
+    stack = io.imread(path, pages=True)
+    assert stack.shape == (4, 20, 24, 3)
+    for got, want in zip(stack, frames):
+        np.testing.assert_array_equal(got, want)
+
+    with pytest.warns(UserWarning, match="multi-page"):
+        first = io.imread(path)
+    np.testing.assert_array_equal(first, frames[0])
+
+    with pytest.raises(ValueError, match="single page"):
+        io.imread(path, memmap=True, pages=True)
+
+
+def test_multipage_mixed_shapes_returns_list(tmp_path):
+    from PIL import Image
+
+    a = (RNG.random((16, 16)) * 255).astype(np.uint8)
+    b = (RNG.random((8, 12)) * 255).astype(np.uint8)
+    path = str(tmp_path / "mixed.tif")
+    Image.fromarray(a).save(
+        path, save_all=True, append_images=[Image.fromarray(b)]
+    )
+    pages = io.imread(path, pages=True)
+    assert isinstance(pages, list) and len(pages) == 2
+    np.testing.assert_array_equal(pages[0], a)
+    np.testing.assert_array_equal(pages[1], b)
+
+
+def test_float32_tiff_roundtrip(tmp_path):
+    """SampleFormat 3 (IEEE float): our writer <-> our reader, and
+    cross-validated in both directions against PIL/libtiff."""
+    from PIL import Image
+
+    arr = RNG.random((18, 22)).astype(np.float32)
+    ours = str(tmp_path / "f32.tif")
+    io.imsave(ours, arr)
+    np.testing.assert_array_equal(io.imread(ours), arr)
+    # PIL reads our float TIFF
+    np.testing.assert_array_equal(np.asarray(Image.open(ours)), arr)
+    # we read PIL's float TIFF
+    theirs = str(tmp_path / "pil_f32.tif")
+    Image.fromarray(arr, mode="F").save(theirs)
+    got = io.imread(theirs)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_signed_int_tiff_read(tmp_path):
+    """SampleFormat 2 (signed int): write the int16 payload via our writer
+    as uint16 bits, flip the SampleFormat tag to 2, and read it back."""
+    arr = (RNG.random((12, 14)) * 200 - 100).astype(np.int16)
+    io.imsave(str(tmp_path / "tmp.tif"), arr.view(np.uint16))
+    raw = bytearray(open(str(tmp_path / "tmp.tif"), "rb").read())
+    # locate SampleFormat tag (339) in the single IFD and set value to 2
+    (ifd_off,) = struct.unpack("<I", raw[4:8])
+    (count,) = struct.unpack("<H", raw[ifd_off : ifd_off + 2])
+    for i in range(count):
+        off = ifd_off + 2 + i * 12
+        (tag,) = struct.unpack("<H", raw[off : off + 2])
+        if tag == 339:
+            raw[off + 8 : off + 12] = struct.pack("<I", 2)
+    signed = str(tmp_path / "signed.tif")
+    open(signed, "wb").write(bytes(raw))
+    got = io.imread(signed)
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, arr)
