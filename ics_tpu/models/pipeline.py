@@ -94,6 +94,7 @@ def deblur_module(
     refocus: bool = False,
     config: RLConfig | None = None,
     verbose: bool = True,
+    trace=False,
     resize_backend: str = "jax",
     solver: str = "mm",
     psf_path: str | None = None,
@@ -112,6 +113,11 @@ def deblur_module(
 
     ``resize_backend``: 'jax' (on-device Keys cubic, the fast path) or
     'scipy' (host B-spline matching the reference's skimage resize).
+
+    ``trace``: per-stage wall-clock profile via ``utils.trace.Tracer`` —
+    True prints the report at the end (when verbose), or pass a Tracer to
+    accumulate into.  Stage boundaries sync the device queue, so the traced
+    run is slower than the (async-overlapped) untraced one.
 
     ``solver``: 'mm' (TV-MM, the reference's checked-in solver), 'pam'
     (TV-PAM) or 'pd' (TV-PD) — the three families of ref README.md:42-44.
@@ -147,6 +153,27 @@ def deblur_module(
     """
     import jax.numpy as jnp
 
+    # Per-stage profiling (utils/trace.py — the structured upgrade of the
+    # reference's ``timeit``-only observability, SURVEY.md §5).  ``trace``
+    # is False (off), True (trace and print the report when verbose), or a
+    # Tracer instance to accumulate into.  Stage boundaries SYNC the async
+    # dispatch queue with a scalar fetch — that serializes stages the real
+    # pipeline overlaps, so leave it off when timing end-to-end.
+    from ics_tpu.utils.trace import Tracer
+
+    tracer = trace if isinstance(trace, Tracer) else (Tracer() if trace else None)
+
+    def _sync(x):
+        if tracer is not None and x is not None:
+            np.asarray(jnp.sum(x))  # drains the queue through x's producers
+
+    def _stage(name):
+        if tracer is not None:
+            return tracer.stage(name)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     if resize_backend == "jax":
         resize = lambda a, s: resize_jax(a, s).astype(jnp.float32)
     else:
@@ -160,12 +187,14 @@ def deblur_module(
     # Upload the raw integer image once and preprocess on device — host
     # NumPy pow/pad on a 20+ MB float image costs ~1 s per call on a weak
     # host, and the raw upload is 4x smaller than float32.
-    pic = jnp.asarray(np.ascontiguousarray(pic)).astype(jnp.float32)
-    pic = pad_edge(pic, ((1, 1), (1, 1)))  # extra-pad for safety (ref :94)
+    with _stage("upload + preprocess"):
+        pic = jnp.asarray(np.ascontiguousarray(pic)).astype(jnp.float32)
+        pic = pad_edge(pic, ((1, 1), (1, 1)))  # extra-pad for safety (ref :94)
 
-    samples = 2**bits - 1
-    pic = pic / samples
-    pic = pic ** (1 / 2.2)  # undo gamma (ref :103)
+        samples = 2**bits - 1
+        pic = pic / samples
+        pic = pic ** (1 / 2.2)  # undo gamma (ref :103)
+        _sync(pic)
 
     step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
 
@@ -319,14 +348,16 @@ def deblur_module(
                     temp_height += 1
                 shape = (temp_height, temp_width, 3)
 
-                temp_blurry_image = resize(pic, shape)
-                deblured_image = resize(deblured_image, shape)
+                with _stage("resize + pad"):
+                    temp_blurry_image = resize(pic, shape)
+                    deblured_image = resize(deblured_image, shape)
 
-                if case == "blind":
-                    psf_copy = normalize_kernel(resize(psf, (k, k)))
-                else:
-                    psf_copy = psf
-                    k = kernels[0]
+                    if case == "blind":
+                        psf_copy = normalize_kernel(resize(psf, (k, k)))
+                    else:
+                        psf_copy = psf
+                        k = kernels[0]
+                    _sync(deblured_image)
 
                 # Extra safety padding — the gradient is not evaluated on
                 # borders (ref :256-257)
@@ -345,34 +376,36 @@ def deblur_module(
                 tolerance_temp = tolerance if i == 1.0 else 0
 
                 if case == "blind":
-                    res = solver_fn(
-                        temp_blurry_image[
-                            temp_top - 1 : temp_bottom + 1,
-                            temp_left - 1 : temp_right + 1,
-                        ],
-                        deblured_image[
-                            temp_top - pad - 1 : temp_bottom + pad + 1,
-                            temp_left - pad - 1 : temp_right + pad + 1,
-                        ],
-                        psf_copy,
-                        pad + 1,
-                        temp_bottom - temp_top - pad - 1,
-                        pad + 1,
-                        temp_bottom - temp_top - pad - 1,
-                        0,
-                        iterations=iterations,
-                        step_factor=step,
-                        lambd=lambd,
-                        blind=True,
-                        correlation=correlation,
-                        config=solver_cfg,
-                        **({"verbose": verbose} if solver == "mm" else {}),
-                    )
-                    deblured_image = _write_back(
-                        deblured_image, res, temp_top, temp_bottom,
-                        temp_left, temp_right, pad,
-                    )
-                    psf = res.psf
+                    with _stage("solve (blind)"):
+                        res = solver_fn(
+                            temp_blurry_image[
+                                temp_top - 1 : temp_bottom + 1,
+                                temp_left - 1 : temp_right + 1,
+                            ],
+                            deblured_image[
+                                temp_top - pad - 1 : temp_bottom + pad + 1,
+                                temp_left - pad - 1 : temp_right + pad + 1,
+                            ],
+                            psf_copy,
+                            pad + 1,
+                            temp_bottom - temp_top - pad - 1,
+                            pad + 1,
+                            temp_bottom - temp_top - pad - 1,
+                            0,
+                            iterations=iterations,
+                            step_factor=step,
+                            lambd=lambd,
+                            blind=True,
+                            correlation=correlation,
+                            config=solver_cfg,
+                            **({"verbose": verbose} if solver == "mm" else {}),
+                        )
+                        deblured_image = _write_back(
+                            deblured_image, res, temp_top, temp_bottom,
+                            temp_left, temp_right, pad,
+                        )
+                        psf = res.psf
+                        _sync(res.stats)
                 elif preview:
                     res = solver_fn(
                         temp_blurry_image[
@@ -418,25 +451,27 @@ def deblur_module(
                         )
                     else:
                         full_solver = solver_fn
-                    res = full_solver(
-                        temp_blurry_image,
-                        deblured_image,
-                        psf_copy,
-                        pad + 1,
-                        temp_bottom - temp_top - pad - 1,
-                        pad + 1,
-                        temp_bottom - temp_top - pad - 1,
-                        tolerance_temp,
-                        iterations=iterations,
-                        step_factor=step,
-                        lambd=lambd,
-                        blind=False,
-                        config=solver_cfg,
-                        **(
-                            {"verbose": verbose} if solver == "mm" else {}
-                        ),
-                    )
-                    deblured_image = res.u
+                    with _stage("solve (non-blind)"):
+                        res = full_solver(
+                            temp_blurry_image,
+                            deblured_image,
+                            psf_copy,
+                            pad + 1,
+                            temp_bottom - temp_top - pad - 1,
+                            pad + 1,
+                            temp_bottom - temp_top - pad - 1,
+                            tolerance_temp,
+                            iterations=iterations,
+                            step_factor=step,
+                            lambd=lambd,
+                            blind=False,
+                            config=solver_cfg,
+                            **(
+                                {"verbose": verbose} if solver == "mm" else {}
+                            ),
+                        )
+                        deblured_image = res.u
+                        _sync(res.stats)
 
                 if stats_out is not None:
                     # RLResult stats stay ON DEVICE (lazy) — appending does
@@ -489,18 +524,21 @@ def deblur_module(
         # Salvage the current iterate on hard interrupt (ref :338-342)
         pass
 
-    deblured_image = jnp.clip(deblured_image, 0.0, 1.0)
-    deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
-    # A diverged solve propagates NaN through clip/pow, and the uint16 cast
-    # below would silently map it to an arbitrary integer — check BEFORE
-    # casting (the scalar fetch is free next to the frame download).
-    has_nan = bool(jnp.any(jnp.isnan(deblured_image)))
-    # Cast to uint16 ON DEVICE: the host tunnel moves ~10 MB/s, so the final
-    # fetch of a 24 MP frame costs 30 s as float32 but 12 s as uint16 — and
-    # uint16 is what the 16-bit TIFF save casts to anyway (ref :346-352).
-    deblured_image = np.asarray(
-        (deblured_image * (2**16 - 1)).astype(jnp.uint16)
-    )  # single download
+    with _stage("postprocess + download"):
+        deblured_image = jnp.clip(deblured_image, 0.0, 1.0)
+        deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
+        # A diverged solve propagates NaN through clip/pow, and the uint16
+        # cast below would silently map it to an arbitrary integer — check
+        # BEFORE casting (the scalar fetch is free next to the frame
+        # download).
+        has_nan = bool(jnp.any(jnp.isnan(deblured_image)))
+        # Cast to uint16 ON DEVICE: the host tunnel moves ~10 MB/s, so the
+        # final fetch of a 24 MP frame costs 30 s as float32 but 12 s as
+        # uint16 — and uint16 is what the 16-bit TIFF save casts to anyway
+        # (ref :346-352).
+        deblured_image = np.asarray(
+            (deblured_image * (2**16 - 1)).astype(jnp.uint16)
+        )  # single download
     if has_nan:
         # the reference's equivalent diagnostic is the in-solver
         # "has NaN after DoF correction" print (ref lib/deconvolution.pyx:
@@ -523,7 +561,12 @@ def deblur_module(
     if dest_path is not None:
         from ics_tpu.utils.io import save
 
-        os.makedirs(dest_path, exist_ok=True)
-        save(deblured_image, filename, dest_path)
+        with _stage("tiff save"):
+            os.makedirs(dest_path, exist_ok=True)
+            save(deblured_image, filename, dest_path)
+
+    if tracer is not None and verbose and not isinstance(trace, Tracer):
+        print("---- deblur_module stage profile (stages serialized) ----")
+        print(tracer.report())
 
     return deblured_image

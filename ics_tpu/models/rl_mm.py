@@ -39,7 +39,7 @@ from ics_tpu.ops.pallas_correlate import psf_gradient
 from ics_tpu.ops.pallas_solver import fits_vmem, inner_loop_pallas
 from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.reductions import whiteness_weights
-from ics_tpu.ops.tv import tv_op
+from ics_tpu.ops.tv import tv_op_auto
 
 __all__ = ["richardson_lucy_MM", "RLConfig", "RLResult"]
 
@@ -53,6 +53,10 @@ class RLConfig:
     """Solver options beyond the reference's kwarg surface."""
 
     use_tv: bool = False  # False = as-checked-in parity; True = intended MM math
+    # TV stencil backend for use_tv mode: 'pallas' = the VMEM band kernel
+    # (ops/pallas_tv.py, same math), 'xla' = fused shifted-slice stencil,
+    # 'auto' = pallas on TPU/f32 when a row tile fits VMEM.
+    tv_method: str = "auto"
     conv_method: str = "auto"  # 'direct' | 'fft' | 'auto'
     # 'exact': float32 convs (lax.Precision.HIGHEST, 6 bf16 MXU passes) for
     # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
@@ -175,6 +179,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "blind",
         "correlation",
         "use_tv",
+        "tv_method",
         "conv_method",
         "conv_precision",
         "psf_grad",
@@ -201,7 +206,8 @@ def _solve(
     blind,
     correlation,
     use_tv,
-    conv_method,
+    tv_method="auto",
+    conv_method="auto",
     conv_precision="exact",
     psf_grad="auto",
     inner_loop="auto",
@@ -218,6 +224,7 @@ def _solve(
         lax.Precision.HIGHEST if conv_precision == "exact" else lax.Precision.DEFAULT
     )
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
+    tvf = functools.partial(tv_op_auto, method=tv_method)
     if psf_grad == "auto":
         psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"
     else:
@@ -276,8 +283,8 @@ def _solve(
         # 3. TV stencils (order=2 hardcoded at the call sites, ref :495-496).
         # In parity mode TV(ut) is all-zero so these results are dead: skip.
         if use_tv:
-            tv_u_l1, _ = tv_op(u, epsilon, order=2, norm=1)
-            tv_u_l2, div = tv_op(u, epsilon, order=2, norm=2)
+            tv_u_l1, _ = tvf(u, epsilon, order=2, norm=1)
+            tv_u_l2, div = tvf(u, epsilon, order=2, norm=2)
 
         # 4. depth-of-field mask from the *raw* correlation (ref :499-502)
         gradu_crop = lax.slice(gradu, (pad, pad, 0), (pad + m, pad + n, 3))
@@ -371,8 +378,8 @@ def _solve(
         else:
             ut = u
             if use_tv:
-                tv_ut_l1, _ = tv_op(ut, epsilon, order=2, norm=1)
-                tv_ut_l2, _ = tv_op(ut, epsilon, order=2, norm=2)
+                tv_ut_l1, _ = tvf(ut, epsilon, order=2, norm=1)
+                tv_ut_l2, _ = tvf(ut, epsilon, order=2, norm=2)
             else:
                 # all-zero TV(ut): the as-checked-in state (ref :464-465)
                 tv_ut_l1 = tv_ut_l2 = jnp.zeros((1, 1, 1), dtype=f32)
@@ -532,6 +539,7 @@ def richardson_lucy_MM(
         blind=bool(blind),
         correlation=bool(correlation),
         use_tv=cfg.use_tv,
+        tv_method=cfg.tv_method,
         conv_method=cfg.conv_method,
         conv_precision=cfg.conv_precision,
         psf_grad=cfg.psf_grad,

@@ -33,7 +33,7 @@ from ics_tpu.models.rl_mm import RLResult
 from ics_tpu.ops.conv import convolve_rgb, fft_autocorrelate_same
 from ics_tpu.ops.psf import normalize_kernel, rotate_180
 from ics_tpu.ops.reductions import whiteness_weights
-from ics_tpu.ops.tv import tv_op
+from ics_tpu.ops.tv import tv_op_auto
 
 __all__ = ["richardson_lucy_PAM", "PAMConfig"]
 
@@ -99,7 +99,7 @@ def _solve_pam(
         # TV gradient: -div(grad u / |grad u|_eps); tv_op's div is the
         # (normalized) negative divergence of the 2nd-order stencil, and
         # dividing by the e-regularized magnitude gives the curvature term.
-        tv_mag, tv_div = tv_op(u, epsilon, order=2, norm=2)
+        tv_mag, tv_div = tv_op_auto(u, epsilon, order=2, norm=2)
         grad_tv = jnp.where(tv_mag > 0.0, tv_div / tv_mag, 0.0)
 
         gradu = grad_data + lambda_tv * grad_tv

@@ -31,9 +31,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["tv_op_pallas"]
+__all__ = ["tv_op_pallas", "tv_tile_h"]
 
 _SQRT2 = math.sqrt(2.0)
+
+
+def tv_tile_h(h: int, w: int, c: int = 3, budget: int = 13 * 2**20) -> int | None:
+    """Largest row tile whose VMEM working set fits the scoped budget, or
+    None (callers then use the XLA stencil).  Counts the three shifted
+    input views and both outputs TWICE each (Pallas double-buffers blocks
+    across grid steps) plus the in-kernel band concatenation."""
+    item = 4  # float32-only kernel
+    for tile_h in (64, 32, 16, 8):
+        need = item * c * (
+            3 * 2 * tile_h * (w + 2)  # three shifted in blocks, x2 buffers
+            + (tile_h + 2) * (w + 2)  # assembled band temp
+            + 2 * 2 * tile_h * w  # tv/div out blocks, x2 buffers
+        )
+        if need < budget:
+            return tile_h
+    return None
 
 
 def _make_kernel(epsilon: float, order: int, norm: int, tile_h: int):

@@ -21,9 +21,43 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tv_op"]
+__all__ = ["tv_op", "tv_op_auto"]
 
 _SQRT2 = math.sqrt(2.0)
+
+
+def tv_op_auto(
+    u: jax.Array, epsilon: float, order: int = 2, norm: int = 1,
+    method: str = "auto",
+):
+    """``tv_op`` with backend dispatch: 'pallas' = the VMEM band kernel
+    (ops/pallas_tv.py; same math, hardware-verified bit-exact vs this
+    stencil), 'xla' = the fused shifted-slice stencil, 'auto' = pallas on
+    TPU for float32 when a row tile fits the VMEM budget, else xla.
+
+    This is the ``use_tv`` solvers' entry point — the XLA fuser already
+    emits one pass for the stencil, so the kernel's edge is bounding VMEM
+    traffic on large frames where the 11 shifted operand reads stop
+    fitting the fusion's tile budget."""
+    if method == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu" and u.dtype == jnp.float32
+        )
+    else:
+        use_pallas = method == "pallas"
+    if use_pallas:
+        from ics_tpu.ops.pallas_tv import tv_op_pallas, tv_tile_h
+
+        h, w = u.shape[0], u.shape[1]
+        c = u.shape[2] if u.ndim == 3 else 1
+        tile_h = tv_tile_h(int(h), int(w), int(c))
+        if tile_h is not None:
+            return tv_op_pallas(u, epsilon, order, norm, tile_h=tile_h)
+        if method == "pallas":
+            raise ValueError(
+                f"no Pallas TV row tile fits VMEM for shape {u.shape}"
+            )
+    return tv_op(u, epsilon, order, norm)
 
 
 def _norm_l2(x, y, epsilon):

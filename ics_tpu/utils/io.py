@@ -380,6 +380,11 @@ def imread(path: str, memmap: bool = False, pages: bool = False):
         f.close()
     else:
         f.close()
+    return _decode_tiff(raw, path, memmap=memmap, pages=pages)
+
+
+def _decode_tiff(raw, path: str, memmap: bool = False, pages: bool = False):
+    """Decode a TIFF from an in-memory buffer (bytes or mmap); see imread."""
     byte_order = raw[:2]
     if byte_order == b"II":
         en = "<"
@@ -537,14 +542,31 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     return arr.astype(dtype.newbyteorder("="), copy=False)
 
 
-def imread_sequence(pattern: str) -> np.ndarray:
+def imread_sequence(pattern: str, prefetch: bool = True) -> np.ndarray:
     """Read a glob of same-shaped TIFFs as one (N, ...) stack — the analog
-    of the reference's ``TiffSequence`` (ref lib/tifffile.py:4073)."""
+    of the reference's ``TiffSequence`` (ref lib/tifffile.py:4073).
+
+    With ``prefetch`` (and the native runtime built), file reads run on the
+    C++ thread pool (runtime/loader.py) so disk I/O of file *k+1…* overlaps
+    decoding of file *k* — the serial loop pays read+decode per file."""
     import glob
 
     paths = sorted(glob.glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no files match {pattern!r}")
+
+    if prefetch and len(paths) > 1:
+        from ics_tpu.runtime import loader
+
+        if loader.available():
+            with loader.Prefetcher() as pool:
+                tickets = [pool.submit(p) for p in paths]
+                return np.stack(
+                    [
+                        _decode_tiff(pool.take(t), p)
+                        for t, p in zip(tickets, paths)
+                    ]
+                )
     return np.stack([imread(p) for p in paths])
 
 

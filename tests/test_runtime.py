@@ -94,3 +94,41 @@ def test_thread_pool_loader(native_lib, tmp_path):
     buf = ctypes.create_string_buffer(16)
     assert lib.ics_loader_take(handle, bad, buf, 16) == -1
     lib.ics_loader_destroy(handle)
+
+
+def test_prefetcher_binding(native_lib, tmp_path):
+    """The Python Prefetcher API over the C pool: bytes parity, blocking
+    take, error propagation."""
+    import ics_tpu.runtime.loader as loader
+
+    loader._LIB = None
+    loader._TRIED = False
+    assert loader.available()
+
+    files = []
+    for i in range(5):
+        payload = bytes(RNG.integers(0, 255, 2000 + i * 101).astype(np.uint8))
+        f = tmp_path / f"p{i}.bin"
+        f.write_bytes(payload)
+        files.append((str(f), payload))
+
+    with loader.Prefetcher(n_threads=2) as pool:
+        tickets = [pool.submit(p) for p, _ in files]
+        for t, (_, payload) in zip(tickets, files):
+            assert pool.take(t) == payload
+        bad = pool.submit(str(tmp_path / "missing.bin"))
+        with pytest.raises(OSError):
+            pool.take(bad)
+
+
+def test_imread_sequence_prefetch_matches_serial(native_lib, tmp_path):
+    from ics_tpu.utils import io
+
+    for i in range(4):
+        arr = (RNG.random((10, 12, 3)) * 65535).astype(np.uint16)
+        io.imsave(str(tmp_path / f"s{i:02d}.tif"), arr)
+    pat = str(tmp_path / "s*.tif")
+    fast = io.imread_sequence(pat, prefetch=True)
+    slow = io.imread_sequence(pat, prefetch=False)
+    assert fast.shape == (4, 10, 12, 3)
+    np.testing.assert_array_equal(fast, slow)
