@@ -69,14 +69,10 @@ class RLConfig:
     #                regularization difference (u - ut) and every reduction
     #                in float32, so sub-ulp updates don't wash out.  Meets
     #                the 0.999-SSIM bar at mask/crop scales (tested).
-    #                CAVEAT at very large frames: the DoF term divides by
-    #                (gradu + image) with no epsilon (reference parity),
-    #                and bf16-quantized gradu makes an exact-zero
-    #                denominator vastly more likely — measured on the
-    #                24 MP bench frame, a long (200-outer) full-res level
-    #                seeds a NaN that spreads frame-wide, where float32
-    #                stays finite AND converges.  Prefer 'float32' for
-    #                long full-resolution solves;
+    #                The r2 large-frame NaN (bf16-quantized gradu hitting
+    #                the epsilon-free DoF division's exact-zero
+    #                denominator on long full-res solves) is closed by
+    #                dof_guard, which defaults ON for this mode;
     #   'bfloat16' — everything in bf16 (fastest; SSIM ~0.990 — opt-in for
     #                throughput-first work).
     # The whiteness metric, step scalars and outputs stay float32 in every
@@ -98,6 +94,21 @@ class RLConfig:
     # the reference's in-loop diagnostic prints (ref lib/deconvolution.pyx:
     # 593, 618, 658-669).
     record_metrics: bool = False
+    # Zero-denominator guard on the depth-of-field term.  The reference
+    # computes ((gradu - image) / (gradu + image))**2 with NO epsilon (ref
+    # lib/deconvolution.pyx:499-502); in float32 on real images the
+    # denominator never lands on exact zero, but bf16-quantized gradu makes
+    # it likely enough that long full-resolution mixed/bf16 solves seed a
+    # frame-flooding NaN (measured on the 24 MP bench frame in r2).  The
+    # guard substitutes dof = 1 exactly where gradu + image == 0 — i.e.
+    # "deblurring is untrustworthy here, keep the observed pixel", the
+    # limit the blend step takes as dof grows — and leaves every other
+    # pixel bit-identical.  None = auto: ON for 'mixed'/'bfloat16', OFF
+    # for 'float32' (strict parity; the guard would be a no-op there
+    # anyway on non-degenerate inputs).  This is a documented deviation
+    # from the reference's epsilon-free math, active only where the
+    # reference's own float32 assumptions don't hold.
+    dof_guard: bool | None = None
     # Vestigial reference kwargs, accepted for API parity and documented as
     # unused downstream (SURVEY.md §5 "Config"): p, norm, order are forwarded
     # but hardcoded at the TV call sites (ref lib/deconvolution.pyx:495-496);
@@ -185,6 +196,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "psf_grad",
         "inner_loop",
         "dtype",
+        "dof_guard",
         "use_stopping",
         "record",
     ),
@@ -212,6 +224,7 @@ def _solve(
     psf_grad="auto",
     inner_loop="auto",
     dtype="float32",
+    dof_guard=None,
     use_stopping=True,
     record=False,
 ):
@@ -251,6 +264,13 @@ def _solve(
     # solves run on small mask windows where f32 is already cheap.
     mixed = dtype == "mixed" and not blind
     compute_dtype = bf16 if dtype == "bfloat16" else f32
+    # DoF zero-denominator guard (RLConfig.dof_guard): auto = only in the
+    # reduced-precision modes, where exact-zero (gradu + image) actually
+    # occurs; float32 stays strict reference parity.
+    guard = dof_guard if dof_guard is not None else (mixed or compute_dtype != f32)
+    if guard and inner_loop_method == "pallas":
+        # the VMEM inner-loop kernel hardcodes the parity (unguarded) DoF
+        inner_loop_method = "xla"
     if compute_dtype != f32 or mixed:
         inner_loop_method = "xla"  # the VMEM kernel is f32-only
         psf_grad_method = "conv"  # the DMA kernel's (8,128) alignment is f32
@@ -288,7 +308,19 @@ def _solve(
 
         # 4. depth-of-field mask from the *raw* correlation (ref :499-502)
         gradu_crop = lax.slice(gradu, (pad, pad, 0), (pad + m, pad + n, 3))
-        dof = ((gradu_crop - image) / (gradu_crop + image)) ** 2
+        if guard:
+            # zero-denominator guard (see RLConfig.dof_guard): dof = 1
+            # exactly where gradu + image == 0 (keep the observed pixel),
+            # bit-identical everywhere else
+            den = gradu_crop + image
+            zero = den == 0.0
+            dof = jnp.where(
+                zero,
+                1.0,
+                ((gradu_crop - image) / jnp.where(zero, 1.0, den)) ** 2,
+            )
+        else:
+            dof = ((gradu_crop - image) / (gradu_crop + image)) ** 2
         if not blind:
             dof = dof / lambd
 
@@ -545,6 +577,7 @@ def richardson_lucy_MM(
         psf_grad=cfg.psf_grad,
         inner_loop=cfg.inner_loop,
         dtype=cfg.dtype,
+        dof_guard=cfg.dof_guard,
         record=cfg.record_metrics,
     )
     result = RLResult(

@@ -233,3 +233,60 @@ def test_mixed_precision_mode_meets_parity_bar():
     b = richardson_lucy_MM(*args, **kw2, config=RLConfig(dtype="mixed"))
     assert a.iterations == b.iterations
     assert a.converged == b.converged
+
+
+def test_dof_guard_closes_zero_denominator_nan():
+    """RLConfig.dof_guard (VERDICT r2 item 2): the reference's epsilon-free
+    DoF division NaNs when (gradu + image) lands on exact zero — certain on
+    images with exactly-zero regions, and what killed 'mixed' on the 24 MP
+    frame in r2.  The guard substitutes dof=1 at those pixels only.
+
+    auto (None): ON for mixed/bf16, OFF for float32 (strict parity)."""
+    import jax.numpy as jnp
+
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 64, 3), np.float32)
+    img[20:40, 20:40] = rng.random((20, 20, 3)).astype(np.float32)
+    psf = np.ones((5, 5, 3), np.float32) / 25.0
+    u = np.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+
+    def run(dtype, guard):
+        cfg = RLConfig(dtype=dtype, dof_guard=guard)
+        return richardson_lucy_MM(
+            img, u, psf, 5, 59, 5, 59, 0.1, iterations=8, step_factor=1e-3,
+            lambd=1000, blind=False, config=cfg, verbose=False,
+        )
+
+    # the failure mode, reproduced: guard off => NaN floods (both dtypes —
+    # the zero region makes exact-zero denominators even in f32, which is
+    # faithful to what the reference itself would do)
+    assert not np.isfinite(run("mixed", False).M_r)
+    assert not np.isfinite(np.asarray(run("float32", None).u)).all()
+    # the guard closes it: mixed auto-enables, f32 opt-in
+    assert np.isfinite(np.asarray(run("mixed", None).u)).all()
+    assert np.isfinite(np.asarray(run("float32", True).u)).all()
+
+
+def test_dof_guard_is_identity_off_degenerate_pixels():
+    """On inputs with no exact-zero denominators, guard on vs off must be
+    BIT-identical in f32 — the guard only rewrites dof where den == 0."""
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    rng = np.random.default_rng(3)
+    img = (0.1 + 0.8 * rng.random((48, 48, 3))).astype(np.float32)
+    psf = np.ones((3, 3, 3), np.float32) / 9.0
+    u = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+
+    def run(guard):
+        cfg = RLConfig(dtype="float32", dof_guard=guard)
+        return np.asarray(
+            richardson_lucy_MM(
+                img, u, psf, 4, 44, 4, 44, 0.1, iterations=6,
+                step_factor=1e-3, lambd=1000, blind=False, config=cfg,
+                verbose=False,
+            ).u
+        )
+
+    np.testing.assert_array_equal(run(True), run(False))
