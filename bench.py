@@ -73,10 +73,36 @@ def _run_case(pic, kwargs, label):
 
 
 def main():
+    import argparse
+
     import jax
     from PIL import Image
 
     from ics_tpu.utils.cache import enable_persistent_cache
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--selftest", action="store_true",
+        help="certify every Pallas kernel on the CURRENT backend against "
+             "its portable twin (run on the real TPU — interpret-mode "
+             "tests do not certify hardware) and exit",
+    )
+    ap.add_argument(
+        "--kernels", action="store_true",
+        help="chained-scan microbenchmark of the conv backends and exit",
+    )
+    args = ap.parse_args()
+
+    if args.selftest or args.kernels:
+        from ics_tpu.utils.selftest import bench_conv_backends, certify_kernels
+
+        enable_persistent_cache()
+        ok = True
+        if args.selftest:
+            ok = certify_kernels()
+        if args.kernels:
+            bench_conv_backends()
+        raise SystemExit(0 if ok else 1)
 
     # Cross-process compile reuse (the reference's "FFTW wisdom" analog).
     # Must go through jax.config.update — the env var is snapshotted before

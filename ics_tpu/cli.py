@@ -59,6 +59,7 @@ def _cmd_deblur(args) -> int:
         psf_path=args.psf,
         save_psf_path=args.save_psf,
         precision=args.precision,
+        early_stop=args.early_stop,
         nonblind_levels=args.nonblind_levels,
         mesh=mesh,
     )
@@ -189,6 +190,12 @@ def main(argv=None) -> int:
                         "moderate sizes, but long full-resolution solves "
                         "can NaN through the epsilon-free DoF division — "
                         "the pipeline warns if so); fast=all-bf16")
+    p.add_argument("--early-stop", type=float, default=0.0, metavar="R",
+                   help="stop a pyramid level once the whiteness metric "
+                        "stops improving by relative R for 10 consecutive "
+                        "outers (0 = off, reference-parity stopping); "
+                        "try 1e-3 — quality-gated deviation that skips "
+                        "the dead iterations coarse levels burn")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="tile the full-frame non-blind solves by rows over "
                         "the first N devices (GSPMD halo exchange over ICI)")

@@ -100,6 +100,7 @@ def deblur_module(
     psf_path: str | None = None,
     save_psf_path: str | None = None,
     precision: str = "exact",
+    early_stop: float = 0.0,
     stats_out: list | None = None,
     nonblind_levels: str = "all",
     mesh=None,
@@ -138,6 +139,12 @@ def deblur_module(
     solves stay on one device (they are a few hundred pixels square); only
     the large-frame levels, where the memory and FLOPs live, shard.  Only
     the 'mm' solver supports this.
+
+    ``early_stop``: opt-in whiteness-plateau stop (RLConfig.early_stop;
+    'mm' solver only) — stop a level once M_r stops improving by the given
+    relative amount for 10 consecutive outers.  A documented deviation
+    from the reference's stopping rule that skips the dead iterations
+    coarse levels otherwise burn; quality-gated in tests/test_golden.py.
 
     ``psf_path`` / ``save_psf_path``: the PSF-reuse workflow the reference
     README *describes* but never implemented (ref README.md:131-133 "saving
@@ -284,7 +291,7 @@ def deblur_module(
         solver_fn = richardson_lucy_MM
         solver_cfg = config or RLConfig(
             p=p, norm=norm, order=order, priority=priority, refocus=refocus,
-            dtype=solver_dtype,
+            dtype=solver_dtype, early_stop=early_stop,
         )
     elif solver == "pam":
         from ics_tpu.models.rl_pam import richardson_lucy_PAM

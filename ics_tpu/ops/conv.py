@@ -302,19 +302,79 @@ def _conv_pallas_vmappable(a3: jax.Array, k3: jax.Array, mode: str) -> jax.Array
     return run(a3, k3)
 
 
+def _conv_pallas_mxu_vmappable(
+    a3: jax.Array, k3: jax.Array, mode: str, precision
+) -> jax.Array:
+    """MXU banded-matmul Pallas conv with the same custom_vmap fallback
+    contract as ``_conv_pallas_vmappable`` (Mosaic cannot lower the HBM
+    spec under a mapped batch axis)."""
+    from jax.custom_batching import custom_vmap
+
+    from ics_tpu.ops.pallas_conv_mxu import _conv_planar_mxu, mxu_tile_h
+
+    tile_h = mxu_tile_h(a3.shape, a3.dtype.itemsize, k3.shape[1], k3.shape[2])
+    if tile_h is None:
+        taps = k3.shape[-2] * k3.shape[-1]
+        if taps <= _STENCIL_THRESHOLD_TAPS:
+            return _conv_stencil(a3, k3, mode)
+        return _conv_direct(a3, k3, mode, lax.Precision.HIGHEST)
+    precision_name = (
+        "highest" if precision == lax.Precision.HIGHEST else "default"
+    )
+
+    @custom_vmap
+    def run(a, k):
+        return _conv_planar_mxu(
+            a, k, mode=mode, tile_h=tile_h,
+            interpret=jax.default_backend() != "tpu",
+            precision_name=precision_name,
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, a, k):  # noqa: ANN001
+        ab, kb = in_batched
+        taps = k.shape[-2] * k.shape[-1]
+        if taps <= _STENCIL_THRESHOLD_TAPS:
+            inner = lambda x, y: _conv_stencil(x, y, mode)
+        else:
+            inner = lambda x, y: _conv_direct(
+                x, y, mode, lax.Precision.HIGHEST
+            )
+        out = jax.vmap(
+            inner, in_axes=(0 if ab else None, 0 if kb else None)
+        )(a, k)
+        return out, True
+
+    return run(a3, k3)
+
+
 def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
     if method == "auto":
         taps = mk * nk
         on_tpu = jax.default_backend() == "tpu"
-        # Measured on v5e, 9x9 (ms/conv): 6.3 MP — pallas(fori) bf16 3.6 /
-        # f32 5.1, mxu-banded bf16 9.2 / f32 16.6, stencil bf16 6.7 /
-        # f32 48; 24 MP — pallas bf16 10.7 / f32 16.6, mxu bf16 30.5.
-        # The banded-VMEM Pallas kernel wins its whole range (the MXU
-        # reformulation's block reshapes and f32 accumulator cost more HBM
-        # traffic than the matrix unit saves in FLOP time).  Small kernels
-        # stay on the fused XLA stencil — kernel-launch + DMA overheads
-        # dominate below ~81 taps and the stencil fuses with consumers.
+        # Measured on v5e, 9x9 'same' conv (ms, r3 bench.py --kernels):
+        #   6.3 MP — pallas(VPU fori) f32 4.7 / bf16 3.5, pallas_mxu
+        #   (in-VMEM banded matmul) f32 5.1 / bf16 2.5, XLA mxu f32 10.6 /
+        #   bf16 7.7;  24 MP — pallas f32 16.1 / bf16 10.4, pallas_mxu
+        #   f32 17.0 / bf16 6.4, XLA mxu f32 44.8 / bf16 30.1.
+        # bf16 routes to the MXU-resident banded-matmul kernel (1.4-1.6x
+        # the VPU tap loop: the 256/nk MAC inflation runs at MXU rather
+        # than issue-bound VPU rate, and operands never leave VMEM —
+        # unlike the XLA-level 'mxu' backend, which loses to its own HBM
+        # reshape traffic).  f32 stays on the VPU kernel: HIGHEST-precision
+        # matmul passes eat the MXU's edge.  Small kernels stay on the
+        # fused XLA stencil — kernel-launch + DMA overheads dominate below
+        # ~81 taps and the stencil fuses with consumers.
+        if (
+            on_tpu
+            and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
+            and a3.dtype == jnp.bfloat16
+        ):
+            from ics_tpu.ops.pallas_conv_mxu import mxu_tile_h
+
+            if mxu_tile_h(a3.shape, a3.dtype.itemsize, mk, nk) is not None:
+                return _conv_pallas_mxu_vmappable(a3, k3, mode, precision)
         if (
             on_tpu
             and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
@@ -340,6 +400,8 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
         return _conv_stencil(a3, k3, mode)
     if method == "pallas":
         return _conv_pallas_vmappable(a3, k3, mode)
+    if method == "pallas_mxu":
+        return _conv_pallas_mxu_vmappable(a3, k3, mode, precision)
     if method == "mxu":
         return _conv_mxu(a3, k3, mode, precision)
     if method == "direct":

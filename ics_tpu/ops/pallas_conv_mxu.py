@@ -1,0 +1,237 @@
+"""MXU-resident banded-matmul Pallas convolution.
+
+The banded-VMEM kernel in ``ops/pallas_conv.py`` runs its tap loop on the
+VPU — one FMA plus a lane shift per tap per element, measured at ~11% of
+VPU peak (issue-bound), which made the ten 9x9 convolutions per outer
+iteration ~85% of the 24 MP solve cost in round 2.  The matrix unit has
+~12x the VPU's FLOP rate and sat idle.
+
+This kernel keeps the same one-HBM-pass band structure (DMA a row band
+into VMEM, iterate tap rows with a rolled-window ``fori_loop``) but
+replaces the per-tap lane shifts with **banded mixing matmuls executed on
+the MXU out of VMEM**: for output lane block j of 128 lanes and tap row
+t1,
+
+    out_blk[j] += window[j] @ M[t1],   window[j] = band[t1:, 128j : 128j+256]
+
+where ``M[t1][k, c] = psf_flipped[t1, k - c]`` for ``0 <= k - c < nk``
+(a (256, 128) band matrix; the 256-lane window covers the 128 output
+lanes plus the nk-1 tap overhang).  MACs inflate by 256/nk over the
+direct stencil, but they run at MXU rather than (11% of) VPU rate.  The
+round-2 XLA-level attempt at this idea (``ops/conv._conv_mxu``) lost to
+its own HBM reshape traffic; here the operands never leave VMEM — which
+is exactly what VERDICT r2 prescribed.
+
+Accumulation is float32 (preferred_element_type) in all modes — strictly
+more accurate than the VPU kernel's bf16 accumulation in bf16 mode.
+
+scipy ``valid|same|full`` semantics, planar (C, H, W), per-channel PSFs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ics_tpu.ops.conv import _pads
+
+__all__ = ["conv_rgb_pallas_mxu", "mxu_tile_h"]
+
+_B = 128  # MXU lane block
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def mxu_tile_h(a3_shape, a3_itemsize: int, mk: int, nk: int,
+               budget: int = 13 * 2**20) -> int | None:
+    """Largest row tile whose VMEM working set fits the scoped budget:
+    band scratch + rolled fori-carry copy (input dtype), the f32
+    accumulator, the double-buffered output block, and the mix-matrix
+    block."""
+    c, _, w = a3_shape
+    out_n = w  # 'same' is the worst case the solver uses; 'full' adds nk-1
+    nb = -(-(out_n + nk - 1) // _B)
+    ws = (nb + 1) * _B
+    item = a3_itemsize
+    for tile_h in (128, 64, 32):
+        band_rows = tile_h + _round8(mk - 1)
+        need = (
+            2 * band_rows * ws * item  # band scratch + rolled carry
+            + tile_h * nb * _B * 4  # f32 accumulator
+            + 2 * tile_h * out_n * item  # double-buffered out block
+            + mk * 2 * _B * _B * item  # mix block (mk, 256, 128)
+        )
+        if need < budget:
+            return tile_h
+    return None
+
+
+def _mix_matrices(k3: jax.Array, dtype) -> jax.Array:
+    """(C, MK, NK) per-channel kernels -> (C, MK, 2B, B) banded mixing
+    matrices: M[c, t1, k, cc] = flip(k3)[c, t1, k - cc] on the band."""
+    _, _, nk = k3.shape
+    kf = jnp.flip(k3, axis=(1, 2))  # true convolution
+    kk = jnp.arange(2 * _B)[:, None]
+    cc = jnp.arange(_B)[None, :]
+    d = kk - cc  # tap offset per (row, col) of the mixing matrix
+    valid = (d >= 0) & (d < nk)
+    dc = jnp.clip(d, 0, nk - 1)
+    # kf[:, :, dc]: (C, MK, 2B, B); zero outside the band
+    return jnp.where(valid[None, None], kf[:, :, dc], 0).astype(dtype)
+
+
+def _make_kernel(mk: int, tile_h: int, nb: int, out_n: int, dtype, precision):
+    band_rows = tile_h + _round8(mk - 1)
+    if dtype == jnp.bfloat16:
+        # Mosaic rejects an fp32 contract precision on bf16 operands ("Bad
+        # lhs type"); a bf16 x bf16 -> f32 MXU matmul is single-pass and
+        # exact for bf16 inputs anyway.
+        precision = lax.Precision.DEFAULT
+
+    def kernel(a_hbm, mix_ref, out_ref, scratch, sem):
+        ch = pl.program_id(0)
+        i = pl.program_id(1)
+        band = pltpu.make_async_copy(
+            a_hbm.at[ch, pl.ds(i * tile_h, band_rows)], scratch, sem
+        )
+        band.start()
+        band.wait()
+
+        # Tap ROWS iterate a fori_loop carrying the row-rolled band (the
+        # same O(nk)-program trick as pallas_conv.py: at step t1 the
+        # window rows scratch[t1 : t1+tile_h] are the STATIC slice
+        # rolled[0:tile_h]); the former per-tap lane shifts are now one
+        # banded (tile_h, 256) @ (256, 128) MXU matmul per lane block.
+        def row(t1, carry):
+            rolled, acc = carry
+            m = mix_ref[0, t1]  # (2B, B) band matrix for this tap row
+            contrib = jnp.concatenate(
+                [
+                    lax.dot_general(
+                        rolled[0:tile_h, j * _B : j * _B + 2 * _B],
+                        m,
+                        (((1,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32,
+                    )
+                    for j in range(nb)
+                ],
+                axis=1,
+            )
+            acc = acc + contrib
+            rolled = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
+            return rolled, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, mk, row, (scratch[...], jnp.zeros((tile_h, nb * _B), jnp.float32))
+        )
+        out_ref[0] = acc[:, :out_n].astype(dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "tile_h", "interpret", "precision_name")
+)
+def _conv_planar_mxu(a, k, *, mode, tile_h, interpret, precision_name):
+    """a: (C, H, W); k: (C, MK, NK) -> scipy-convolve ``mode`` output."""
+    c, m, n = a.shape
+    _, mk, nk = k.shape
+    precision = {
+        "highest": lax.Precision.HIGHEST,
+        "default": lax.Precision.DEFAULT,
+    }[precision_name]
+    (plo, phi) = _pads(mk, mode)
+    (qlo, qhi) = _pads(nk, mode)
+    a_p = jnp.pad(a, ((0, 0), (plo, phi), (qlo, qhi)))
+    out_m = a_p.shape[1] - mk + 1
+    out_n = a_p.shape[2] - nk + 1
+    nb = -(-out_n // _B)
+
+    grid_h = -(-out_m // tile_h)
+    rows_needed = grid_h * tile_h + _round8(mk - 1)
+    # (nb+1) lane blocks so the last window's 2B read stays in bounds
+    a_p = jnp.pad(
+        a_p,
+        (
+            (0, 0),
+            (0, rows_needed - a_p.shape[1]),
+            (0, (nb + 1) * _B - a_p.shape[2]),
+        ),
+    )
+
+    mix = _mix_matrices(k, a.dtype)
+
+    out = pl.pallas_call(
+        _make_kernel(mk, tile_h, nb, out_n, a.dtype, precision),
+        grid=(c, grid_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (1, mk, 2 * _B, _B),
+                lambda ch, i: (ch, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, out_n), lambda ch, i: (ch, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, grid_h * tile_h, out_n), a.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (tile_h + _round8(mk - 1), (nb + 1) * _B), a.dtype
+            ),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_p, mix)
+    return out[:, :out_m, :]
+
+
+def conv_rgb_pallas_mxu(
+    a,
+    k,
+    mode: str = "same",
+    tile_h: int | None = None,
+    interpret: bool | None = None,
+    precision=lax.Precision.HIGHEST,
+):
+    """(H, W, C)-layout wrapper with scipy convolve semantics; ``k`` is
+    (MK, NK, C) per-channel kernels or (MK, NK) broadcast."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    a = jnp.asarray(a)
+    if a.dtype not in (jnp.float32, jnp.bfloat16):
+        a = a.astype(jnp.float32)
+    if k.ndim == 2:
+        k = jnp.broadcast_to(k[..., jnp.newaxis], (*k.shape, a.shape[-1]))
+    a_pl = jnp.moveaxis(a, -1, 0)
+    k_pl = jnp.moveaxis(jnp.asarray(k, a.dtype), -1, 0)
+    if tile_h is None:
+        tile_h = mxu_tile_h(
+            a_pl.shape, a_pl.dtype.itemsize, k_pl.shape[1], k_pl.shape[2]
+        )
+        if tile_h is None:
+            raise ValueError(
+                f"no MXU conv row tile fits VMEM for shape {a.shape}"
+            )
+    precision_name = (
+        "highest" if precision == lax.Precision.HIGHEST else "default"
+    )
+    out = _conv_planar_mxu(
+        a_pl,
+        k_pl,
+        mode=mode,
+        tile_h=int(tile_h),
+        interpret=bool(interpret),
+        precision_name=precision_name,
+    )
+    return jnp.moveaxis(out, 0, -1)

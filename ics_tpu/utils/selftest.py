@@ -1,0 +1,227 @@
+"""On-hardware certification and microbenchmarks for the Pallas kernels.
+
+Round-2 lesson (docs/STATUS.md): interpret-mode tests do NOT certify
+hardware — they skip Mosaic's DMA alignment rules, the 16 MB scoped-VMEM
+limit and lowering coverage, and two kernels shipped broken for a round
+that way.  ``certify_kernels`` runs every Pallas kernel ON THE CURRENT
+BACKEND against its portable twin and asserts tolerances; ``bench.py
+--selftest`` is the one-command wrapper the verify workflow uses.
+
+``bench_conv_backends`` is the chained-scan microbenchmark used for the
+conv dispatch decisions: a ``lax.scan`` dependency chain inside ONE jit
+call with a single scalar fetch at the end — per-call wall clocks over
+the TPU tunnel measure only the relay round trip (see docs/PERFORMANCE.md
+"Measurement discipline").
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["certify_kernels", "bench_conv_backends"]
+
+
+def _real_image(h, w):
+    """A real photographic crop (tiled if needed) — the solver's DoF blend
+    is chaotic on synthetic random inputs (docs/PERFORMANCE.md), so kernel
+    certification uses real image statistics."""
+    import os
+
+    path = "/root/reference/img/crop-blured.jpg"
+    if os.path.exists(path):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            base = np.asarray(im, np.float32) / 255.0
+    else:
+        rng = np.random.default_rng(0)
+        base = rng.random((512, 512, 3)).astype(np.float32)
+    reps = (-(-h // base.shape[0]), -(-w // base.shape[1]), 1)
+    return np.tile(base, reps)[:h, :w]
+
+
+def certify_kernels(report=print) -> bool:
+    """Run all Pallas kernels against their portable twins on the current
+    JAX backend.  Returns True when every check passes."""
+    import jax
+    import jax.numpy as jnp
+
+    checks = []
+    ok = True
+
+    def check(name, got_thunk, want, tol):
+        nonlocal ok
+        try:
+            got = np.asarray(
+                got_thunk() if callable(got_thunk) else got_thunk, np.float64
+            )
+            want = np.asarray(want, np.float64)
+            scale = max(np.abs(want).max(), 1e-30)
+            err = np.abs(got - want).max() / scale
+            passed = bool(np.isfinite(err) and err <= tol)
+        except Exception as e:  # compile/lowering failures are findings
+            err, passed = float("nan"), False
+            report(f"[selftest] {name:<22} ERROR: {str(e).splitlines()[0][:140]}")
+        ok = ok and passed
+        report(
+            f"[selftest] {name:<22} rel-err {err:.2e}  tol {tol:.0e}  "
+            f"{'PASS' if passed else 'FAIL'}"
+        )
+        checks.append((name, err, passed))
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(_real_image(512, 640))
+    kern = jnp.asarray(
+        np.abs(rng.random((9, 9, 3))).astype(np.float32)
+    )
+    kern = kern / kern.sum(axis=(0, 1))
+
+    # 1+2. banded conv kernels (VPU taps / MXU banded matmul) vs the fused
+    # XLA stencil (scipy-exact, property-tested)
+    from ics_tpu.ops.conv import convolve_rgb
+    from ics_tpu.ops.pallas_conv import conv_rgb_pallas
+    from ics_tpu.ops.pallas_conv_mxu import conv_rgb_pallas_mxu
+
+    want = convolve_rgb(img, kern, mode="same", method="stencil")
+    check("conv (VPU band)", lambda: conv_rgb_pallas(img, kern, mode="same"),
+          want, 1e-5)
+    check(
+        "conv (MXU banded)",
+        lambda: conv_rgb_pallas_mxu(img, kern, mode="same"),
+        want,
+        1e-5,
+    )
+    check(
+        "conv (MXU banded bf16)",
+        lambda: conv_rgb_pallas_mxu(
+            img.astype(jnp.bfloat16), kern.astype(jnp.bfloat16), mode="same"
+        ).astype(jnp.float32),
+        want,
+        2e-2,
+    )
+
+    # 3. TV stencil
+    from ics_tpu.ops.pallas_tv import tv_op_pallas
+    from ics_tpu.ops.tv import tv_op
+
+    tv_w, div_w = tv_op(img, 1e-3, order=2, norm=2)
+    check("tv magnitude", lambda: tv_op_pallas(img, 1e-3, order=2, norm=2)[0],
+          tv_w, 1e-6)
+    check("tv divergence", lambda: tv_op_pallas(img, 1e-3, order=2, norm=2)[1],
+          div_w, 1e-6)
+
+    # 4. bilateral band kernel vs the portable scan
+    from ics_tpu.ops.pallas_bilateral import bilateral_pallas
+    from ics_tpu.utils.filters import _bilateral
+
+    plane = img[:256, :384, 1]
+    check(
+        "bilateral",
+        lambda: bilateral_pallas(plane, 4, 0.1, 3.0),
+        _bilateral(plane, 4, 0.1, 3.0),
+        1e-5,
+    )
+
+    # 5. PSF-gradient correlate kernel vs the generic conv formulation
+    from ics_tpu.ops.pallas_correlate import psf_gradient
+    from ics_tpu.ops.psf import rotate_180
+
+    u_win = img[:263, :263]
+    # valid conv of (263, 263) with 9x9 -> (255, 255); MK = 263-255+1 = 9
+    err_win = img[4:259, 4:259] - convolve_rgb(u_win, kern, mode="valid")
+    check(
+        "psf gradient",
+        lambda: psf_gradient(u_win, err_win),
+        convolve_rgb(rotate_180(u_win), err_win, mode="valid"),
+        1e-4,
+    )
+
+    # 6. VMEM-resident solver inner loop vs the XLA scan (one blind outer)
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    small = np.asarray(img[:255, :255])
+    u0 = np.pad(small, ((3, 3), (3, 3), (0, 0)), mode="edge")
+    psf0 = np.ones((7, 7, 3), np.float32) / 49.0
+
+    def run(inner):
+        cfg = RLConfig(inner_loop=inner)
+        return richardson_lucy_MM(
+            small, u0, psf0, 8, 247, 8, 247, 0.0, iterations=3,
+            step_factor=1e-3, lambd=10000, blind=True, config=cfg,
+            verbose=False,
+        )
+
+    res_x = run("xla")
+    check("solver inner loop (u)", lambda: run("pallas").u, res_x.u, 1e-5)
+    check("solver inner loop (psf)", lambda: run("pallas").psf, res_x.psf, 1e-4)
+
+    report(
+        f"[selftest] backend={jax.default_backend()} "
+        f"{sum(p for _, _, p in checks)}/{len(checks)} passed"
+    )
+    return ok
+
+
+def _chain_time(fn, x, n_iter=20, reps=3):
+    """Median seconds per application of fn, measured as a lax.scan chain
+    inside one jit with a single scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chained(x0):
+        def body(x, _):
+            return fn(x), None
+
+        out, _ = lax.scan(body, x0, None, length=n_iter)
+        return jnp.sum(out[..., -1])  # scalar dependency on the chain
+
+    float(chained(x))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chained(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_iter
+
+
+def bench_conv_backends(
+    shapes=((2048, 3072), (4005, 6005)),
+    dtypes=("float32", "bfloat16"),
+    mk=9,
+    methods=("pallas", "pallas_mxu", "mxu"),
+    report=print,
+):
+    """Chained-scan ms/conv for the 'same'-mode 9x9 per-channel conv across
+    backends — the numbers behind ops/conv.py's auto dispatch."""
+    import jax.numpy as jnp
+
+    from ics_tpu.ops.conv import convolve_rgb
+
+    rng = np.random.default_rng(2)
+    kern = np.abs(rng.random((mk, mk, 3))).astype(np.float32)
+    kern = kern / kern.sum(axis=(0, 1))  # magnitude-preserving chain
+    results = {}
+    for h, w in shapes:
+        base = _real_image(h, w)
+        for dtype in dtypes:
+            x = jnp.asarray(base, getattr(jnp, dtype))
+            k = jnp.asarray(kern, getattr(jnp, dtype))
+            for method in methods:
+                fn = lambda a: convolve_rgb(a, k, mode="same", method=method)
+                try:
+                    sec = _chain_time(fn, x)
+                except Exception as e:  # compile/lowering failure is data
+                    report(
+                        f"[conv-bench] {h}x{w} {dtype} {method}: FAILED {e!s:.120}"
+                    )
+                    results[(h, w, dtype, method)] = None
+                    continue
+                report(
+                    f"[conv-bench] {h}x{w} {dtype} {method}: {sec * 1e3:.2f} ms"
+                )
+                results[(h, w, dtype, method)] = sec * 1e3
+    return results

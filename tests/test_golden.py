@@ -202,3 +202,42 @@ np.save({str(out_npy)!r}, out)
     pd_ssim = ssim(outs["pd"], truth, data_range=1.0)
     assert pd_ssim > in_ssim, (pd_ssim, in_ssim)
     assert pd_ssim >= 0.885, pd_ssim
+
+
+def test_deblur_early_stop_quality(crops, tmp_path):
+    """The opt-in whiteness-plateau early stop (RLConfig.early_stop) must
+    not cost end-to-end quality: same golden protocol as the parity test,
+    same bars.  (Measured r3: identical SSIM 0.9027 / PSNR 35.93 — on this
+    crop the non-blind levels converge via the parity rule first; the
+    plateau pays off on large frames whose coarse levels burn the budget.)
+    """
+    import subprocess
+    import sys
+
+    out_npy = tmp_path / "deblur_es.npy"
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.pipeline import deblur_module
+with Image.open({os.path.join(IMG, 'crop-blured.jpg')!r}) as im:
+    pic = np.asarray(im, np.uint8)
+out = deblur_module(pic, 'g', None, 5, mask=[275, 275], mask_size=255,
+                    tolerance=0.1, iterations=50, verbose=False,
+                    early_stop=1e-3)
+np.save({str(out_npy)!r}, out)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = np.load(out_npy).astype(np.float32) / 65535.0
+
+    truth = crops["original"]
+    assert ssim(out, truth, data_range=1.0) >= 0.89
+    assert psnr(out, truth, 1.0) >= 35.5

@@ -290,3 +290,34 @@ def test_dof_guard_is_identity_off_degenerate_pixels():
         )
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_early_stop_plateau_cuts_dead_iterations():
+    """RLConfig.early_stop (VERDICT r2 item 3): a non-blind solve whose
+    whiteness metric has plateaued must stop instead of burning the whole
+    budget; blind solves are untouched (M_r is flat there while the PSF
+    still improves — measured on the golden crop)."""
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    rng = np.random.default_rng(9)
+    img = (0.2 + 0.6 * rng.random((48, 48, 3))).astype(np.float32)
+    psf = np.ones((5, 5, 3), np.float32) / 25.0
+    u = np.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+
+    def run(es, blind):
+        cfg = RLConfig(early_stop=es)
+        return richardson_lucy_MM(
+            img, u, psf, 5, 43, 5, 43, 1e9,  # tau: parity stop never fires
+            # (the non-blind rule is delta-ratio > tau, ratio bounded by 1)
+            iterations=80, step_factor=1e-3, lambd=1000, blind=blind,
+            config=cfg, verbose=False,
+        )
+
+    # without the plateau the budget burns fully
+    assert run(0.0, blind=False).iterations == 80
+    # with it, the plateaued whiteness metric stops the solve early
+    res = run(1e-3, blind=False)
+    assert res.converged and res.iterations < 80, res.iterations
+    # blind solves keep the reference stopping rule regardless
+    blind_ref = run(0.0, blind=True).iterations
+    assert run(1e-3, blind=True).iterations == blind_ref
