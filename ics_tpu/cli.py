@@ -66,6 +66,75 @@ def _cmd_deblur(args) -> int:
     return 0
 
 
+def _cmd_deblur_batch(args) -> int:
+    """Batched non-blind deconvolution of a burst of same-shaped frames
+    with one stored PSF — the reference README's PSF-reuse workflow (ref
+    README.md:131-133) at batch scale (BASELINE config 5): estimate the
+    PSF once (``deblur --save-psf``), then deconvolve the whole burst as
+    ONE vmapped on-chip solve with per-lane whiteness stopping."""
+    import jax.numpy as jnp
+
+    from ics_tpu.models.checkpoint import load_checkpoint
+    from ics_tpu.parallel.batch import batched_deconvolve
+    from ics_tpu.utils.io import imread_sequence, save
+
+    ckpt = load_checkpoint(args.psf)
+    psf = np.asarray(ckpt.psf, np.float32)
+    k = psf.shape[0]
+    # solver geometry: u is the image plus the (k-1)-wide conv halo
+    pad = k // 2
+
+    pics = np.asarray(imread_sequence(args.pattern))
+    if pics.ndim != 4 or pics.shape[-1] != 3:
+        raise SystemExit(
+            f"deblur-batch: expected a stack of RGB frames, got {pics.shape}"
+        )
+    b, h, w, _ = pics.shape
+    bits = args.bits if args.bits is not None else (
+        8 if pics.dtype == np.uint8 else 16
+    )
+    imgs = (pics.astype(np.float32) / float(2**bits - 1)) ** (1 / 2.2)
+
+    mask_size = min(args.mask_size, min(h, w) - 2) | 1
+    top = h // 2 - mask_size // 2
+    left = w // 2 - mask_size // 2
+    bottom, right = top + mask_size, left + mask_size
+
+    us = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    psfs = np.broadcast_to(psf, (b, *psf.shape))
+
+    mesh = None
+    if args.shard:
+        from ics_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard)
+
+    u_b, _, stats_b = batched_deconvolve(
+        jnp.asarray(imgs), jnp.asarray(us), jnp.asarray(psfs),
+        top, bottom, left, right,
+        tau=args.tolerance / 100.0, iterations=args.iterations,
+        step_factor={"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4,
+                     "low": 5e-3}[args.quality],
+        lambd=args.confidence * 1000.0, blind=False, mesh=mesh,
+    )
+    out = np.asarray(
+        (jnp.clip(u_b, 0.0, 1.0) ** 2.2 * (2**16 - 1)).astype(jnp.uint16)
+    )
+    stats = np.asarray(stats_b)
+    os.makedirs(args.dest, exist_ok=True)
+    import glob as _glob
+
+    names = sorted(_glob.glob(args.pattern))
+    for i, path in enumerate(names):
+        name = os.path.splitext(os.path.basename(path))[0] + args.suffix
+        save(out[i], name, args.dest)
+        print(
+            f"{name}: {int(stats[i][0])} outers, "
+            f"converged={bool(stats[i][1])}"
+        )
+    return 0
+
+
 def _load_unit(path: str, bits: int | None) -> np.ndarray:
     """Load an image scaled to [0, 1] by its bit depth.
 
@@ -208,6 +277,25 @@ def main(argv=None) -> int:
             help="input bit depth for the [0,1] normalization (ref "
                  "deconvolve.py:97); default derives it from the file dtype "
                  "(uint8 -> 8, uint16 -> 16)")
+
+    p = sub.add_parser(
+        "deblur-batch",
+        help="batched non-blind deconvolution of a burst with a stored PSF")
+    p.add_argument("pattern", help="glob of same-shaped frames (quote it)")
+    p.add_argument("dest")
+    p.add_argument("--psf", required=True, metavar="CKPT",
+                   help="PSF checkpoint from 'deblur --save-psf'")
+    p.add_argument("--confidence", type=float, default=10)
+    p.add_argument("--tolerance", type=float, default=1)
+    p.add_argument("--quality", default="normal",
+                   choices=["low", "normal", "high", "veryhigh"])
+    p.add_argument("--mask-size", type=int, default=255)
+    p.add_argument("--iterations", type=int, default=200)
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="shard the batch axis over the first N devices")
+    p.add_argument("--suffix", default="-deblurred")
+    _bits_arg(p)
+    p.set_defaults(fn=_cmd_deblur_batch)
 
     p = sub.add_parser("usm", help="unsharp mask")
     p.add_argument("input")

@@ -129,3 +129,37 @@ def test_cli_deblur_requires_blur_width_or_psf(small_image, tmp_path):
     path, _ = small_image
     with pytest.raises(SystemExit):
         main(["deblur", path, str(tmp_path / "out"), "--iterations", "2"])
+
+
+def test_cli_deblur_batch(small_image, tmp_path, capsys):
+    """deblur-batch: PSF estimated once, applied to a burst as one vmapped
+    solve (the README PSF-reuse workflow at batch scale), outputs matching
+    per-frame results."""
+    path, arr = small_image
+    ckpt = str(tmp_path / "psf.npz")
+    assert main([
+        "deblur", path, str(tmp_path / "o1"), "--blur-width", "3",
+        "--iterations", "3", "--mask-size", "25", "--save-psf", ckpt,
+    ]) == 0
+
+    burst = str(tmp_path / "burst")
+    import os as _os
+    _os.makedirs(burst)
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        frame = np.clip(
+            arr.astype(np.int32) + rng.integers(-6, 6, arr.shape), 0, 255
+        ).astype(np.uint8)
+        imsave(f"{burst}/f{i}.tif", frame)
+
+    dest = str(tmp_path / "ob")
+    assert main([
+        "deblur-batch", f"{burst}/f*.tif", dest, "--psf", ckpt,
+        "--iterations", "4", "--mask-size", "25",
+    ]) == 0
+    printed = capsys.readouterr().out
+    for i in range(3):
+        out = imread(f"{dest}/f{i}-deblurred.tif")
+        assert out.shape == arr.shape and out.dtype == np.uint16
+        assert out.max() > 0
+        assert f"f{i}-deblurred:" in printed
