@@ -105,9 +105,14 @@ def _cmd_deblur_batch(args) -> int:
 
     mesh = None
     if args.shard:
-        from ics_tpu.parallel.mesh import make_mesh
+        from ics_tpu.parallel.mesh import BATCH_AXIS, make_mesh
 
-        mesh = make_mesh(args.shard)
+        if b % args.shard != 0:
+            raise SystemExit(
+                f"deblur-batch: batch of {b} frames must divide by "
+                f"--shard {args.shard}"
+            )
+        mesh = make_mesh(args.shard, axis_name=BATCH_AXIS)
 
     u_b, _, stats_b = batched_deconvolve(
         jnp.asarray(imgs), jnp.asarray(us), jnp.asarray(psfs),

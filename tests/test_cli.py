@@ -163,3 +163,31 @@ def test_cli_deblur_batch(small_image, tmp_path, capsys):
         assert out.shape == arr.shape and out.dtype == np.uint16
         assert out.max() > 0
         assert f"f{i}-deblurred:" in printed
+
+
+def test_cli_deblur_batch_sharded(small_image, tmp_path, capsys):
+    """deblur-batch --shard N on the virtual mesh equals the unsharded
+    run bit-for-bit (the batch axis is data-parallel)."""
+    path, arr = small_image
+    ckpt = str(tmp_path / "psf.npz")
+    assert main([
+        "deblur", path, str(tmp_path / "o1"), "--blur-width", "3",
+        "--iterations", "2", "--mask-size", "25", "--save-psf", ckpt,
+    ]) == 0
+    burst = str(tmp_path / "burst")
+    import os as _os
+    _os.makedirs(burst)
+    for i in range(4):
+        imsave(f"{burst}/f{i}.tif", arr)
+
+    d1, d2 = str(tmp_path / "u"), str(tmp_path / "s")
+    assert main(["deblur-batch", f"{burst}/f*.tif", d1, "--psf", ckpt,
+                 "--iterations", "3", "--mask-size", "25"]) == 0
+    assert main(["deblur-batch", f"{burst}/f*.tif", d2, "--psf", ckpt,
+                 "--iterations", "3", "--mask-size", "25",
+                 "--shard", "2"]) == 0
+    for i in range(4):
+        np.testing.assert_array_equal(
+            imread(f"{d1}/f{i}-deblurred.tif"),
+            imread(f"{d2}/f{i}-deblurred.tif"),
+        )
