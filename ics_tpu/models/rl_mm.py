@@ -72,7 +72,14 @@ class RLConfig:
     #                The r2 large-frame NaN (bf16-quantized gradu hitting
     #                the epsilon-free DoF division's exact-zero
     #                denominator on long full-res solves) is closed by
-    #                dof_guard, which defaults ON for this mode;
+    #                dof_guard, which defaults ON for this mode.
+    #                FULL-RESOLUTION CAVEAT (measured, r3): the bf16
+    #                convs perturb the whiteness metric enough to re-roll
+    #                the chaotic stop trajectory, and on a synthetic
+    #                24 MP ground-truth pair that divergence is a real
+    #                quality loss (SSIM 0.88 vs f32's 0.96 against
+    #                truth).  Prefer 'float32' for full-frame quality
+    #                work; mixed is the throughput/preview mode;
     #   'bfloat16' — everything in bf16 (fastest; SSIM ~0.990 — opt-in for
     #                throughput-first work).
     # The whiteness metric, step scalars and outputs stay float32 in every
