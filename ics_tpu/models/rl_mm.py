@@ -53,9 +53,11 @@ class RLConfig:
     """Solver options beyond the reference's kwarg surface."""
 
     use_tv: bool = False  # False = as-checked-in parity; True = intended MM math
-    # TV stencil backend for use_tv mode: 'pallas' = the VMEM band kernel
-    # (ops/pallas_tv.py, same math), 'xla' = fused shifted-slice stencil,
-    # 'auto' = pallas on TPU/f32 when a row tile fits VMEM.
+    # TV stencil backend for use_tv mode: 'xla' = fused shifted-slice
+    # stencil, 'pallas' = the VMEM band kernel (ops/pallas_tv.py, same
+    # math, hardware-certified), 'auto' = the measured winner (xla: 1.79
+    # vs 2.62 ms at 6.3 MP, 8.00 vs 8.45 at 24 MP on v5e — see
+    # ops/tv.py::tv_op_auto).
     tv_method: str = "auto"
     conv_method: str = "auto"  # 'direct' | 'fft' | 'auto'
     # 'exact': float32 convs (lax.Precision.HIGHEST, 6 bf16 MXU passes) for

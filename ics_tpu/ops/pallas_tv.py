@@ -36,11 +36,17 @@ __all__ = ["tv_op_pallas", "tv_tile_h"]
 _SQRT2 = math.sqrt(2.0)
 
 
-def tv_tile_h(h: int, w: int, c: int = 3, budget: int = 13 * 2**20) -> int | None:
+def tv_tile_h(h: int, w: int, c: int = 3, budget: int = 9 * 2**20) -> int | None:
     """Largest row tile whose VMEM working set fits the scoped budget, or
     None (callers then use the XLA stencil).  Counts the three shifted
     input views and both outputs TWICE each (Pallas double-buffers blocks
-    across grid steps) plus the in-kernel band concatenation."""
+    across grid steps) plus the in-kernel band concatenation.
+
+    The 9 MB budget is calibrated on hardware (r3): a ~13 MB working set
+    (tile 32 at width 3072) fails Mosaic's compile outright, while every
+    probed configuration at or under ~7 MB (tile 16 at 3072, tile 8 at
+    6016) compiles and runs — this kernel's five big blocks need more
+    slack under the 16 MB scoped limit than the conv kernels' two."""
     item = 4  # float32-only kernel
     for tile_h in (64, 32, 16, 8):
         need = item * c * (

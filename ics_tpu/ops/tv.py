@@ -31,18 +31,19 @@ def tv_op_auto(
     method: str = "auto",
 ):
     """``tv_op`` with backend dispatch: 'pallas' = the VMEM band kernel
-    (ops/pallas_tv.py; same math, hardware-verified bit-exact vs this
-    stencil), 'xla' = the fused shifted-slice stencil, 'auto' = pallas on
-    TPU for float32 when a row tile fits the VMEM budget, else xla.
+    (ops/pallas_tv.py; same math, hardware-certified bit-exact vs this
+    stencil by ``bench.py --selftest``), 'xla' = the fused shifted-slice
+    stencil, 'auto' = the measured winner.
 
-    This is the ``use_tv`` solvers' entry point — the XLA fuser already
-    emits one pass for the stencil, so the kernel's edge is bounding VMEM
-    traffic on large frames where the 11 shifted operand reads stop
-    fitting the fusion's tile budget."""
+    This is the ``use_tv`` solvers' entry point.  Measured on v5e (r3,
+    chained-scan, order 2 / L2): XLA 1.79 ms vs Pallas 2.62 at 6.3 MP,
+    8.00 vs 8.45 at 24 MP — XLA's fuser already emits a near-roofline
+    single pass for the 11-read stencil, and the Pallas kernel's VMEM
+    working set forces 8-16-row tiles at large widths (wider tiles fail
+    Mosaic's compile — see ``tv_tile_h``), so **'auto' picks 'xla'**.
+    The kernel stays available explicitly and under ``--selftest``."""
     if method == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu" and u.dtype == jnp.float32
-        )
+        use_pallas = False
     else:
         use_pallas = method == "pallas"
     if use_pallas:
