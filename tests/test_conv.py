@@ -117,3 +117,69 @@ def test_pallas_tile_sizing_fits_scoped_vmem():
         band = tile_h + 8
         need = c * w_pad * np.dtype(dt).itemsize * (band + 2 * tile_h)
         assert need < 16 * 2**20, (shape, dt, tile_h, need)
+
+
+class TestPallasMXUConv:
+    """ops/pallas_conv_mxu.py — the MXU-resident banded-matmul kernel
+    (interpret mode here; hardware certification is bench.py --selftest)."""
+
+    @pytest.mark.parametrize("mode", ["valid", "same", "full"])
+    @pytest.mark.parametrize("mk,nk", [(9, 9), (5, 7), (3, 3)])
+    def test_matches_scipy(self, mode, mk, nk):
+        from scipy.signal import convolve2d as sp_conv
+
+        from ics_tpu.ops.pallas_conv_mxu import conv_rgb_pallas_mxu
+
+        rng = np.random.default_rng(17)
+        a = rng.random((40, 50, 3)).astype(np.float32)
+        k = rng.random((mk, nk, 3)).astype(np.float32)
+        got = np.asarray(conv_rgb_pallas_mxu(jnp.asarray(a), jnp.asarray(k), mode=mode))
+        want = np.stack(
+            [sp_conv(a[..., c], k[..., c], mode=mode) for c in range(3)], axis=-1
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_wide_frame_multiblock(self):
+        """More than one 128-lane block exercises the band-matrix overhang."""
+        from scipy.signal import convolve2d as sp_conv
+
+        from ics_tpu.ops.pallas_conv_mxu import conv_rgb_pallas_mxu
+
+        rng = np.random.default_rng(18)
+        a = rng.random((24, 300, 3)).astype(np.float32)
+        k = rng.random((9, 9, 3)).astype(np.float32)
+        got = np.asarray(conv_rgb_pallas_mxu(jnp.asarray(a), jnp.asarray(k), mode="same"))
+        want = np.stack(
+            [sp_conv(a[..., c], k[..., c], mode="same") for c in range(3)], axis=-1
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_dispatch_method_and_vmap_fallback(self):
+        """method='pallas_mxu' goes through _dispatch; a vmapped call routes
+        to the portable fallback with identical math."""
+        from ics_tpu.ops.conv import convolve_rgb
+
+        rng = np.random.default_rng(19)
+        a = rng.random((4, 30, 40, 3)).astype(np.float32)
+        k = rng.random((5, 5, 3)).astype(np.float32)
+        want = np.stack(
+            [np.asarray(convolve_rgb(x, k, mode="same", method="stencil")) for x in a]
+        )
+        single = np.stack(
+            [np.asarray(convolve_rgb(x, k, mode="same", method="pallas_mxu")) for x in a]
+        )
+        batched = np.asarray(
+            jax.vmap(lambda x: convolve_rgb(x, k, mode="same", method="pallas_mxu"))(
+                jnp.asarray(a)
+            )
+        )
+        np.testing.assert_allclose(single, want, atol=2e-5)
+        np.testing.assert_allclose(batched, want, atol=2e-5)
+
+    def test_mxu_tile_budget(self):
+        from ics_tpu.ops.pallas_conv_mxu import mxu_tile_h
+
+        # bf16 24 MP fits at a large tile; f32 shrinks; absurd budget -> None
+        assert mxu_tile_h((3, 4000, 6000), 2, 9, 9) is not None
+        assert mxu_tile_h((3, 4000, 6000), 4, 9, 9) in (32, 64)
+        assert mxu_tile_h((3, 4000, 6000), 4, 9, 9, budget=1024) is None
