@@ -107,6 +107,9 @@ def batched_deconvolve(
             conv_method=cfg.conv_method,
             conv_precision=cfg.conv_precision,
             dtype=cfg.dtype,
+            dof_guard=cfg.dof_guard,
+            early_stop=cfg.early_stop,
+            early_stop_patience=cfg.early_stop_patience,
             psf_grad="conv",  # keep the vmapped path on plain XLA ops
             inner_loop="xla",
             use_stopping=use_stopping,

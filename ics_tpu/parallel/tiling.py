@@ -146,6 +146,9 @@ def sharded_richardson_lucy(
             ("psf_grad", "conv"),
             ("inner_loop", "xla"),
             ("dtype", cfg.dtype),
+            ("dof_guard", cfg.dof_guard),
+            ("early_stop", cfg.early_stop),
+            ("early_stop_patience", cfg.early_stop_patience),
             ("record", cfg.record_metrics),
         ),
     )
