@@ -136,14 +136,8 @@ def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
     raise ValueError(f"unsupported compression {compression!r}")
 
 
-def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
-    """Write a baseline little-endian TIFF (chunky, single strip).
-
-    Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
-    pages get SampleFormat 3, which our reader and libtiff both honor);
-    ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
-    built, pure-Python fallbacks otherwise).
-    """
+def _plan_page(arr: np.ndarray, compression):
+    """Validate one page and precompute everything its IFD needs."""
     arr = np.ascontiguousarray(arr)
     if arr.dtype not in (
         np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
@@ -158,16 +152,32 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
         photometric = 2 if spp >= 3 else 1
     else:
         raise ValueError(f"unsupported shape {arr.shape}")
-    bps = arr.dtype.itemsize * 8
     data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
     data, comp_tag = _compress(data, compression)
+    plan = {
+        "h": h, "w": w, "spp": spp, "photometric": photometric,
+        "bps": arr.dtype.itemsize * 8, "sample_format": sample_format,
+        "data": data, "comp_tag": comp_tag,
+        "n_entries": 11 + (1 if (photometric == 2 and spp == 4) else 0),
+        "extra_len": (2 * spp * 2) if spp * 2 > 4 else 0,
+    }
+    plan["ifd_size"] = 2 + plan["n_entries"] * 12 + 4
+    plan["seg_len"] = plan["ifd_size"] + plan["extra_len"] + len(data)
+    return plan
 
+
+def _emit_page(plan, seg_off: int, next_ifd_off: int) -> bytes:
+    """Serialize one page segment ([IFD][extra arrays][pixel data]) laid
+    out at absolute offset ``seg_off``; the IFD's next pointer is
+    ``next_ifd_off`` (0 on the last page of the chain)."""
+    h, w, spp = plan["h"], plan["w"], plan["spp"]
+    data = plan["data"]
     entries = [
         (_IMAGE_WIDTH, 4, 1, w),
         (_IMAGE_LENGTH, 4, 1, h),
         (_BITS_PER_SAMPLE, 3, spp, None),  # value resolved below
-        (_COMPRESSION, 3, 1, comp_tag),
-        (_PHOTOMETRIC, 3, 1, photometric),
+        (_COMPRESSION, 3, 1, plan["comp_tag"]),
+        (_PHOTOMETRIC, 3, 1, plan["photometric"]),
         (_STRIP_OFFSETS, 4, 1, None),
         (_SAMPLES_PER_PIXEL, 3, 1, spp),
         (_ROWS_PER_STRIP, 4, 1, h),
@@ -175,30 +185,30 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
         (_PLANAR_CONFIG, 3, 1, 1),
         (_SAMPLE_FORMAT, 3, spp, None),
     ]
-    if photometric == 2 and spp == 4:
+    if plan["photometric"] == 2 and spp == 4:
         # TIFF 6.0 requires ExtraSamples for channels beyond RGB;
         # 2 = unassociated alpha (what PIL/libtiff expect for RGBA)
         entries.append((_EXTRA_SAMPLES, 3, 1, 2))
         entries.sort()  # IFD entries must be in ascending tag order
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    ifd_size = 2 + len(entries) * 12 + 4
     # extra arrays (bits-per-sample / sample-format lists) go after the IFD
-    extra_off = 8 + ifd_size
+    extra_off = seg_off + plan["ifd_size"]
     extra = b""
     resolved = []
     for tag, typ, count, value in entries:
         if tag == _BITS_PER_SAMPLE:
             if spp * 2 <= 4:
-                value = bps
+                value = plan["bps"]
             else:
                 value = extra_off + len(extra)
-                extra += struct.pack(f"<{spp}H", *([bps] * spp))
+                extra += struct.pack(f"<{spp}H", *([plan["bps"]] * spp))
         elif tag == _SAMPLE_FORMAT:
             if spp * 2 <= 4:
-                value = sample_format
+                value = plan["sample_format"]
             else:
                 value = extra_off + len(extra)
-                extra += struct.pack(f"<{spp}H", *([sample_format] * spp))
+                extra += struct.pack(
+                    f"<{spp}H", *([plan["sample_format"]] * spp)
+                )
         resolved.append((tag, typ, count, value))
     data_off = extra_off + len(extra)
     resolved = [
@@ -213,10 +223,91 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
         else:
             payload = struct.pack("<I", value)
         ifd += struct.pack("<HHI", tag, typ, count) + payload
-    ifd += struct.pack("<I", 0)  # no next IFD
+    ifd += struct.pack("<I", next_ifd_off)
+    return ifd + extra + data
 
+
+def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
+    """Write a baseline little-endian TIFF (chunky, single strip).
+
+    Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
+    pages get SampleFormat 3, which our reader and libtiff both honor);
+    ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
+    built, pure-Python fallbacks otherwise).
+    """
+    plan = _plan_page(arr, compression)
+    header = struct.pack("<2sHI", b"II", 42, 8)
     with open(path, "wb") as f:
-        f.write(header + ifd + extra + data)
+        f.write(header + _emit_page(plan, 8, 0))
+
+
+def imsave_pages(path: str, pages, compression: str | None = None) -> None:
+    """Write a multi-page TIFF: ``pages`` is an (N, ...) stack or a list of
+    per-page arrays (shapes/dtypes may differ page to page).  The written
+    IFD chain round-trips through ``imread(pages=True)`` and libtiff —
+    the writer-side analog of the reference's ``TiffWriter`` page loop
+    (ref lib/tifffile.py:581)."""
+    plans = [_plan_page(np.asarray(p), compression) for p in pages]
+    if not plans:
+        raise ValueError("imsave_pages needs at least one page")
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    offs = [8]
+    for plan in plans[:-1]:
+        offs.append(offs[-1] + plan["seg_len"])
+    with open(path, "wb") as f:
+        f.write(header)
+        for i, plan in enumerate(plans):
+            next_off = offs[i + 1] if i + 1 < len(plans) else 0
+            f.write(_emit_page(plan, offs[i], next_off))
+
+
+def memmap_create(path: str, shape, dtype=np.uint16) -> np.memmap:
+    """Create a new single-page uncompressed TIFF of the given shape and
+    return a WRITABLE ``np.memmap`` view of its pixel data — the analog of
+    the reference's ``tifffile.memmap(..., mode='r+')`` creation path
+    (ref lib/tifffile.py:479), which lets callers fill a result frame
+    incrementally without materializing it in RAM.  Flush with
+    ``.flush()``; read back with ``imread`` / ``imread(memmap=True)``."""
+    shape = tuple(int(s) for s in shape)
+    dt = np.dtype(dtype).newbyteorder("<")
+    if dt.base not in (
+        np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
+    ) and np.dtype(dtype) not in (
+        np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
+    ):
+        raise ValueError(f"memmap_create supports uint8/uint16/float32, got {dtype}")
+    if len(shape) == 2:
+        h, w, spp = shape[0], shape[1], 1
+    elif len(shape) == 3 and shape[2] in (1, 3, 4):
+        h, w, spp = shape
+    else:
+        raise ValueError(f"unsupported shape {shape}")
+    nbytes = h * w * spp * dt.itemsize
+    plan = {
+        "h": h, "w": w, "spp": spp,
+        "photometric": 2 if spp >= 3 else 1,
+        "bps": dt.itemsize * 8,
+        "sample_format": 3 if dt.kind == "f" else 1,
+        # the pixel payload is written through the returned memmap, not
+        # here — emit an empty data blob but a real byte count
+        "data": b"",
+        "comp_tag": 1,
+        "n_entries": 11 + (1 if spp == 4 else 0),
+        "extra_len": (2 * spp * 2) if spp * 2 > 4 else 0,
+    }
+    plan["ifd_size"] = 2 + plan["n_entries"] * 12 + 4
+    seg = bytearray(_emit_page(plan, 8, 0))
+    (count,) = struct.unpack("<H", seg[0:2])
+    for i in range(count):  # patch STRIP_BYTE_COUNTS (emitted as 0)
+        off = 2 + i * 12
+        (tag,) = struct.unpack("<H", seg[off : off + 2])
+        if tag == _STRIP_BYTE_COUNTS:
+            seg[off + 8 : off + 12] = struct.pack("<I", nbytes)
+    data_off = 8 + plan["ifd_size"] + plan["extra_len"]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 8) + bytes(seg))
+        f.truncate(data_off + nbytes)
+    return np.memmap(path, dtype=dt, mode="r+", offset=data_off, shape=shape)
 
 
 def _decode_packbits(data: bytes, expected: int) -> bytes:

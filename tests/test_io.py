@@ -357,3 +357,72 @@ def test_signed_int_tiff_read(tmp_path):
     got = io.imread(signed)
     assert got.dtype == np.int16
     np.testing.assert_array_equal(got, arr)
+
+
+def test_imsave_pages_roundtrip(tmp_path):
+    """Multi-page writer: chain round-trips through our reader and PIL."""
+    from PIL import Image
+
+    frames = [
+        (RNG.random((14, 18, 3)) * 65535).astype(np.uint16) for _ in range(3)
+    ]
+    path = str(tmp_path / "mp.tif")
+    io.imsave_pages(path, frames)
+    stack = io.imread(path, pages=True)
+    assert stack.shape == (3, 14, 18, 3)
+    for got, want in zip(stack, frames):
+        np.testing.assert_array_equal(got, want)
+    # PIL/libtiff sees all three pages and agrees on the last one's
+    # pixels (it truncates uint16 RGB to the high byte)
+    with Image.open(path) as im:
+        assert im.n_frames == 3
+        im.seek(2)
+        got = np.asarray(im)
+        want = frames[2]
+        if got.dtype == np.uint8:
+            want = (want >> 8).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+    # mixed shapes/dtypes per page are allowed (list result)
+    path2 = str(tmp_path / "mp2.tif")
+    io.imsave_pages(
+        path2,
+        [frames[0], (RNG.random((8, 9)) * 255).astype(np.uint8)],
+    )
+    pages = io.imread(path2, pages=True)
+    assert isinstance(pages, list)
+    np.testing.assert_array_equal(pages[0], frames[0])
+    assert pages[1].shape == (8, 9) and pages[1].dtype == np.uint8
+
+    # compressed chains too
+    path3 = str(tmp_path / "mp3.tif")
+    io.imsave_pages(path3, frames, compression="lzw")
+    np.testing.assert_array_equal(io.imread(path3, pages=True), stack)
+
+
+def test_memmap_create_writable(tmp_path):
+    """memmap_create: fill a frame through a writable view, read it back
+    with both imread paths and PIL (the reference's tifffile.memmap
+    creation contract, ref lib/tifffile.py:479)."""
+    from PIL import Image
+
+    path = str(tmp_path / "mm.tif")
+    mm = io.memmap_create(path, (12, 20, 3), np.uint16)
+    data = (RNG.random((12, 20, 3)) * 65535).astype(np.uint16)
+    mm[:] = data
+    mm.flush()
+
+    np.testing.assert_array_equal(io.imread(path), data)
+    view = io.imread(path, memmap=True)
+    assert isinstance(view, np.memmap)
+    np.testing.assert_array_equal(view, data)
+    with Image.open(path) as im:
+        assert im.size == (20, 12)
+
+    # float32 single-plane variant
+    path2 = str(tmp_path / "mmf.tif")
+    mmf = io.memmap_create(path2, (6, 7), np.float32)
+    vals = RNG.random((6, 7)).astype(np.float32)
+    mmf[:] = vals
+    mmf.flush()
+    np.testing.assert_array_equal(io.imread(path2), vals)
