@@ -60,6 +60,7 @@ def _cmd_deblur(args) -> int:
         save_psf_path=args.save_psf,
         precision=args.precision,
         early_stop=args.early_stop,
+        trace=args.trace,
         nonblind_levels=args.nonblind_levels,
         mesh=mesh,
     )
@@ -264,6 +265,11 @@ def main(argv=None) -> int:
                         "moderate sizes, but long full-resolution solves "
                         "can NaN through the epsilon-free DoF division — "
                         "the pipeline warns if so); fast=all-bf16")
+    p.add_argument("--trace", action="store_true",
+                   help="print a per-stage wall-clock profile at the end "
+                        "(stage boundaries sync the device queue, so the "
+                        "traced run is slower than the async-overlapped "
+                        "untraced one)")
     p.add_argument("--early-stop", type=float, default=0.0, metavar="R",
                    help="stop a pyramid level once the whiteness metric "
                         "stops improving by relative R for 10 consecutive "

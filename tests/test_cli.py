@@ -191,3 +191,13 @@ def test_cli_deblur_batch_sharded(small_image, tmp_path, capsys):
             imread(f"{d1}/f{i}-deblurred.tif"),
             imread(f"{d2}/f{i}-deblurred.tif"),
         )
+
+
+def test_cli_deblur_trace(small_image, tmp_path, capsys):
+    path, _ = small_image
+    assert main([
+        "deblur", path, str(tmp_path / "out"), "--blur-width", "3",
+        "--iterations", "2", "--mask-size", "25", "--trace",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "stage profile" in out and "solve (non-blind)" in out
