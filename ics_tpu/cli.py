@@ -91,10 +91,13 @@ def _cmd_deblur_batch(args) -> int:
             f"deblur-batch: expected a stack of RGB frames, got {pics.shape}"
         )
     b, h, w, _ = pics.shape
-    bits = args.bits if args.bits is not None else (
-        8 if pics.dtype == np.uint8 else 16
-    )
-    imgs = (pics.astype(np.float32) / float(2**bits - 1)) ** (1 / 2.2)
+    if np.issubdtype(pics.dtype, np.floating) and args.bits is None:
+        imgs = pics.astype(np.float32) ** (1 / 2.2)  # already [0, 1]
+    else:
+        bits = args.bits if args.bits is not None else (
+            8 if pics.dtype == np.uint8 else 16
+        )
+        imgs = (pics.astype(np.float32) / float(2**bits - 1)) ** (1 / 2.2)
 
     mask_size = min(args.mask_size, min(h, w) - 2) | 1
     top = h // 2 - mask_size // 2

@@ -213,6 +213,13 @@ def conv_rgb_pallas_mxu(
         a = a.astype(jnp.float32)
     if k.ndim == 2:
         k = jnp.broadcast_to(k[..., jnp.newaxis], (*k.shape, a.shape[-1]))
+    if k.shape[1] > _B + 1:  # nk > 129: the 2B window can't
+        # cover 128 output lanes plus the tap overhang — results would
+        # silently truncate (auto dispatch never sends these; guard
+        # explicit calls)
+        raise ValueError(
+            f"pallas_mxu supports kernel widths <= {_B + 1}, got {k.shape[1]}"
+        )
     a_pl = jnp.moveaxis(a, -1, 0)
     k_pl = jnp.moveaxis(jnp.asarray(k, a.dtype), -1, 0)
     if tile_h is None:
