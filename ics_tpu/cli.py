@@ -85,7 +85,12 @@ def _cmd_deblur_batch(args) -> int:
     # solver geometry: u is the image plus the (k-1)-wide conv halo
     pad = k // 2
 
-    pics = np.asarray(imread_sequence(args.pattern))
+    import glob as _glob
+
+    paths = sorted(_glob.glob(args.pattern))
+    if not paths:
+        raise SystemExit(f"deblur-batch: no files match {args.pattern!r}")
+    pics = np.asarray(imread_sequence(paths))
     if pics.ndim != 4 or pics.shape[-1] != 3:
         raise SystemExit(
             f"deblur-batch: expected a stack of RGB frames, got {pics.shape}"
@@ -109,8 +114,15 @@ def _cmd_deblur_batch(args) -> int:
 
     mesh = None
     if args.shard:
+        import jax
+
         from ics_tpu.parallel.mesh import BATCH_AXIS, make_mesh
 
+        if args.shard < 1 or args.shard > len(jax.devices()):
+            raise SystemExit(
+                f"deblur-batch: --shard {args.shard} must be between 1 and "
+                f"the {len(jax.devices())} available devices"
+            )
         if b % args.shard != 0:
             raise SystemExit(
                 f"deblur-batch: batch of {b} frames must divide by "
@@ -131,10 +143,7 @@ def _cmd_deblur_batch(args) -> int:
     )
     stats = np.asarray(stats_b)
     os.makedirs(args.dest, exist_ok=True)
-    import glob as _glob
-
-    names = sorted(_glob.glob(args.pattern))
-    for i, path in enumerate(names):
+    for i, path in enumerate(paths):
         name = os.path.splitext(os.path.basename(path))[0] + args.suffix
         save(out[i], name, args.dest)
         print(
@@ -274,11 +283,13 @@ def main(argv=None) -> int:
                         "traced run is slower than the async-overlapped "
                         "untraced one)")
     p.add_argument("--early-stop", type=float, default=0.0, metavar="R",
-                   help="stop a pyramid level once the whiteness metric "
-                        "stops improving by relative R for 10 consecutive "
-                        "outers (0 = off, reference-parity stopping); "
-                        "try 1e-3 — quality-gated deviation that skips "
-                        "the dead iterations coarse levels burn")
+                   help="stop a NON-BLIND pyramid level once the whiteness "
+                        "metric stops improving by cumulative relative R "
+                        "over 10 consecutive outers (0 = off, reference-"
+                        "parity stopping).  Blind levels keep the parity "
+                        "rule — cutting the PSF estimation costs quality "
+                        "(measured).  Quality-gated deviation; fires only "
+                        "on genuinely plateaued solves")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="tile the full-frame non-blind solves by rows over "
                         "the first N devices (GSPMD halo exchange over ICI)")

@@ -118,17 +118,19 @@ class RLConfig:
     # from the reference's epsilon-free math, active only where the
     # reference's own float32 assumptions don't hold.
     dof_guard: bool | None = None
-    # Opt-in whiteness-plateau early stop (OFF = strict reference parity).
-    # The reference's criteria leave coarse pyramid levels burning their
-    # whole iteration budget without stopping (measured in r2: the 1.9 MP
-    # blind phase ran 3x200 outers, >90% of its runtime, "Did not
-    # converge" each time — faithful to the compiled reference's own
-    # behavior).  With early_stop = r > 0 the solver additionally stops
-    # once M_r has failed to improve by a relative r over
-    # early_stop_patience consecutive outer iterations — "no further
-    # whitening is happening", a deviation from the reference's stopping
-    # rule (ref lib/deconvolution.pyx:643-654), quality-gated by
-    # tests/test_golden.py::test_deblur_early_stop_quality.
+    # Opt-in whiteness-plateau early stop for NON-BLIND solves (OFF =
+    # strict reference parity).  With early_stop = r > 0, a non-blind
+    # solve additionally stops once M_r has failed to improve by a
+    # CUMULATIVE relative r over early_stop_patience consecutive outer
+    # iterations — "no further whitening is happening", a deviation from
+    # the reference's stopping rule (ref lib/deconvolution.pyx:643-654),
+    # quality-gated by tests/test_golden.py::test_deblur_early_stop_quality.
+    # Scope honestly characterized (r3 measurements): blind solves are
+    # deliberately NOT covered — their M_r is nearly flat while the PSF
+    # still improves, and cutting them costs ~0.03 SSIM — and on the
+    # bench workloads the non-blind levels converge through the parity
+    # rule before plateauing, so this fires only on genuinely stalled
+    # solves (e.g. tau too strict / noisy inputs).
     early_stop: float = 0.0
     early_stop_patience: int = 10
     # Vestigial reference kwargs, accepted for API parity and documented as

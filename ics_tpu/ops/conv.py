@@ -312,6 +312,13 @@ def _conv_pallas_mxu_vmappable(
 
     from ics_tpu.ops.pallas_conv_mxu import _conv_planar_mxu, mxu_tile_h
 
+    if k3.shape[2] > 129:
+        # the kernel's 2x128-lane window covers 128 output lanes plus the
+        # tap overhang, so nk > 129 would silently drop taps; auto never
+        # routes such kernels here — reject explicit requests loudly
+        raise ValueError(
+            f"pallas_mxu supports kernel widths <= 129, got {k3.shape[2]}"
+        )
     tile_h = mxu_tile_h(a3.shape, a3.dtype.itemsize, k3.shape[1], k3.shape[2])
     if tile_h is None:
         taps = k3.shape[-2] * k3.shape[-1]
@@ -369,6 +376,7 @@ def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
         if (
             on_tpu
             and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
+            and nk <= 129  # band-window limit of the MXU kernel
             and a3.dtype == jnp.bfloat16
         ):
             from ics_tpu.ops.pallas_conv_mxu import mxu_tile_h

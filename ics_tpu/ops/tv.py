@@ -42,10 +42,9 @@ def tv_op_auto(
     working set forces 8-16-row tiles at large widths (wider tiles fail
     Mosaic's compile — see ``tv_tile_h``), so **'auto' picks 'xla'**.
     The kernel stays available explicitly and under ``--selftest``."""
-    if method == "auto":
-        use_pallas = False
-    else:
-        use_pallas = method == "pallas"
+    if method not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown tv method {method!r}")
+    use_pallas = method == "pallas"  # 'auto' resolves to the measured winner, xla
     if use_pallas:
         from ics_tpu.ops.pallas_tv import tv_op_pallas, tv_tile_h
 

@@ -104,6 +104,10 @@ def batched_deconvolve(
             blind=blind,
             correlation=correlation,
             use_tv=cfg.use_tv,
+            # the Pallas TV kernel has no vmap rule; the XLA stencil is
+            # also the measured winner (ops/tv.py) — force it rather than
+            # silently dropping cfg.tv_method
+            tv_method="xla",
             conv_method=cfg.conv_method,
             conv_precision=cfg.conv_precision,
             dtype=cfg.dtype,

@@ -140,6 +140,9 @@ def sharded_richardson_lucy(
             ("blind", bool(blind)),
             ("correlation", bool(correlation)),
             ("use_tv", cfg.use_tv),
+            # pallas_call does not partition under GSPMD; XLA stencil is
+            # also the measured winner (ops/tv.py)
+            ("tv_method", "xla"),
             ("conv_method", "direct"),
             ("conv_precision", cfg.conv_precision),
             # pallas_call does not partition under GSPMD

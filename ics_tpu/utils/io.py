@@ -18,6 +18,7 @@ I/O is host-side by design — TPU sees only device arrays.
 
 from __future__ import annotations
 
+import os
 import struct
 import sys
 from os.path import join
@@ -633,16 +634,20 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     return arr.astype(dtype.newbyteorder("="), copy=False)
 
 
-def imread_sequence(pattern: str, prefetch: bool = True) -> np.ndarray:
-    """Read a glob of same-shaped TIFFs as one (N, ...) stack — the analog
-    of the reference's ``TiffSequence`` (ref lib/tifffile.py:4073).
+def imread_sequence(pattern, prefetch: bool = True) -> np.ndarray:
+    """Read a glob (or an explicit path list) of same-shaped TIFFs as one
+    (N, ...) stack — the analog of the reference's ``TiffSequence``
+    (ref lib/tifffile.py:4073).
 
     With ``prefetch`` (and the native runtime built), file reads run on the
     C++ thread pool (runtime/loader.py) so disk I/O of file *k+1…* overlaps
     decoding of file *k* — the serial loop pays read+decode per file."""
-    import glob
+    if isinstance(pattern, str):
+        import glob
 
-    paths = sorted(glob.glob(pattern))
+        paths = sorted(glob.glob(pattern))
+    else:
+        paths = [os.fspath(p) for p in pattern]
     if not paths:
         raise FileNotFoundError(f"no files match {pattern!r}")
 
