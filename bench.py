@@ -49,16 +49,23 @@ def _load(path, fallback_shape):
 
 def _run_case(pic, kwargs, label):
     """Warm (compile) + timed run.  Returns (elapsed_s, total_outer_iters)."""
+    import contextlib
+
     from ics_tpu import deblur_module
 
+    # stdout must stay pure (ONE JSON line at the end) — the pipeline's
+    # @timeit decorator prints its wall clock to stdout by reference
+    # parity, so route it to stderr here
     t0 = time.time()
-    deblur_module(pic, f"{label}-warmup", None, **kwargs)
+    with contextlib.redirect_stdout(sys.stderr):
+        deblur_module(pic, f"{label}-warmup", None, **kwargs)
     print(f"[{label}] warmup (incl. compile): {time.time() - t0:.2f}s",
           file=sys.stderr)
 
     stats = []
     t0 = time.time()
-    out = deblur_module(pic, label, None, **kwargs, stats_out=stats)
+    with contextlib.redirect_stdout(sys.stderr):
+        out = deblur_module(pic, label, None, **kwargs, stats_out=stats)
     elapsed = time.time() - t0
     # out is uint16 (can't carry NaN) — a diverged solve shows as NaN in
     # the per-level solver stats instead
