@@ -242,6 +242,49 @@ def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
         f.write(header + _emit_page(plan, 8, 0))
 
 
+def imsave_bigtiff(path: str, arr: np.ndarray, compression: str | None = None) -> None:
+    """Write a single-page little-endian BigTIFF (the 8-byte-offset format
+    for >4 GB files; ref lib/tifffile.py handles it via TiffWriter's
+    bigtiff flag).  Same dtype/shape support as ``imsave``; our reader
+    (BigTIFF path validated against hand-built fixtures) reads it back.
+
+    BigTIFF inline value fields are 8 bytes, so the per-sample
+    BitsPerSample / SampleFormat arrays fit inline for every supported
+    spp — no external arrays needed."""
+    plan = _plan_page(arr, compression)
+    h, w, spp = plan["h"], plan["w"], plan["spp"]
+    data = plan["data"]
+    n = plan["n_entries"]
+    header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    ifd_size = 8 + n * 20 + 8
+    data_off = 16 + ifd_size
+
+    entries = [
+        (_IMAGE_WIDTH, 4, 1, struct.pack("<I", w)),
+        (_IMAGE_LENGTH, 4, 1, struct.pack("<I", h)),
+        (_BITS_PER_SAMPLE, 3, spp, struct.pack(f"<{spp}H", *([plan["bps"]] * spp))),
+        (_COMPRESSION, 3, 1, struct.pack("<H", plan["comp_tag"])),
+        (_PHOTOMETRIC, 3, 1, struct.pack("<H", plan["photometric"])),
+        (_STRIP_OFFSETS, 16, 1, struct.pack("<Q", data_off)),
+        (_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", spp)),
+        (_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h)),
+        (_STRIP_BYTE_COUNTS, 16, 1, struct.pack("<Q", len(data))),
+        (_PLANAR_CONFIG, 3, 1, struct.pack("<H", 1)),
+        (_SAMPLE_FORMAT, 3, spp,
+         struct.pack(f"<{spp}H", *([plan["sample_format"]] * spp))),
+    ]
+    if plan["photometric"] == 2 and spp == 4:
+        entries.append((_EXTRA_SAMPLES, 3, 1, struct.pack("<H", 2)))
+        entries.sort()
+    assert len(entries) == n
+    body = struct.pack("<Q", n)
+    for tag, typ, count, payload in entries:
+        body += struct.pack("<HHQ", tag, typ, count) + payload.ljust(8, b"\0")
+    body += struct.pack("<Q", 0)  # no next IFD
+    with open(path, "wb") as f:
+        f.write(header + body + data)
+
+
 def imsave_pages(path: str, pages, compression: str | None = None) -> None:
     """Write a multi-page TIFF: ``pages`` is an (N, ...) stack or a list of
     per-page arrays (shapes/dtypes may differ page to page).  The written

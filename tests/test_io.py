@@ -426,3 +426,21 @@ def test_memmap_create_writable(tmp_path):
     mmf[:] = vals
     mmf.flush()
     np.testing.assert_array_equal(io.imread(path2), vals)
+
+
+def test_bigtiff_write_roundtrip(tmp_path):
+    """BigTIFF writer (reader/writer symmetry: the reader's BigTIFF path
+    is validated against hand-built fixtures above)."""
+    for arr, comp in (
+        ((RNG.random((11, 13, 3)) * 65535).astype(np.uint16), None),
+        ((RNG.random((9, 21)) * 255).astype(np.uint8), "lzw"),
+        (RNG.random((6, 8, 3)).astype(np.float32), None),
+    ):
+        p = str(tmp_path / "bw.tif")
+        io.imsave_bigtiff(p, arr, compression=comp)
+        # magic says BigTIFF
+        head = open(p, "rb").read(4)
+        assert head[:2] == b"II" and head[2] == 43
+        back = io.imread(p)
+        assert back.dtype == arr.dtype
+        np.testing.assert_array_equal(back, arr)
