@@ -25,7 +25,16 @@ from os.path import join
 
 import numpy as np
 
-__all__ = ["save", "imsave", "imread", "imread_sequence", "load_image"]
+__all__ = [
+    "save",
+    "imsave",
+    "imsave_pages",
+    "imsave_bigtiff",
+    "imread",
+    "imread_sequence",
+    "memmap_create",
+    "load_image",
+]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
