@@ -46,6 +46,7 @@ def batched_deconvolve(
     config: RLConfig | None = None,
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
+    schedule: str = "auto",
 ):
     """Deconvolve a batch: images (B,M,N,3), us (B,uM,uN,3), psfs (B,MK,MK,3).
 
@@ -58,8 +59,33 @@ def batched_deconvolve(
     ``make_mesh_2d(tile=4, batch=2)`` — each image's rows additionally shard
     over the tile axis (row counts must then divide by the tile size; GSPMD
     inserts the conv halo exchanges).
+
+    ``schedule`` picks how lanes execute:
+
+    * ``'vmap'`` — one batched program.  Required under a ``mesh`` (GSPMD
+      partitions the lanes across devices in parallel), but the batched
+      trace forces the solver onto its portable paths (the Pallas
+      conv/solver kernels have no vmap rule — measured ~5x slower per
+      lane at 6 MP than a single-image solve) and frozen-but-finished
+      lanes burn idle iterations until the slowest converges.
+    * ``'map'`` — ``lax.map`` over lanes: one chip runs lanes
+      sequentially anyway, so this costs no parallelism, keeps every
+      fast kernel (each lane traces unbatched), and each lane's early
+      stop saves real work.  Measured 2.5x faster than 'vmap' for a
+      4-lane 6 MP mixed batch on v5e (68.7 vs 172.1 ms/outer/lane).
+    * ``'auto'`` — 'vmap' under a mesh, 'map' otherwise.
     """
     cfg = config or RLConfig()
+    if schedule == "auto":
+        schedule = "vmap" if mesh is not None else "map"
+    if schedule not in ("vmap", "map"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "map" and mesh is not None:
+        raise ValueError(
+            "schedule='map' serializes lanes and cannot shard over a mesh; "
+            "use 'vmap' (the 'auto' default under a mesh)"
+        )
+    batched = schedule == "vmap"
     images = jnp.asarray(images, jnp.float32)
     us = jnp.asarray(us, jnp.float32)
     psfs = jnp.asarray(psfs, jnp.float32)
@@ -114,10 +140,15 @@ def batched_deconvolve(
             dof_guard=cfg.dof_guard,
             early_stop=cfg.early_stop,
             early_stop_patience=cfg.early_stop_patience,
-            psf_grad="conv",  # keep the vmapped path on plain XLA ops
-            inner_loop="xla",
+            # under vmap the Pallas kernels have no batching rule — force
+            # the portable paths; under lax.map each lane traces unbatched
+            # and the fast kernels (auto dispatch) apply
+            psf_grad="conv" if batched else cfg.psf_grad,
+            inner_loop="xla" if batched else cfg.inner_loop,
             use_stopping=use_stopping,
         )
         return u_out, psf_out, stats
 
-    return jax.vmap(one)(images, us, psfs, weights)
+    if batched:
+        return jax.vmap(one)(images, us, psfs, weights)
+    return jax.lax.map(lambda t: one(*t), (images, us, psfs, weights))

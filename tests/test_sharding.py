@@ -147,28 +147,42 @@ def test_batched_per_lane_stopping():
     ).astype(np.float32)
     psfs = np.stack([np.dstack([uniform_kernel(mk)] * 3)] * b).astype(np.float32)
 
-    u_b, psf_b, stats_b = batched_deconvolve(
-        images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
-        iterations=25, step_factor=1e-3, lambd=1000.0, blind=True,
-        use_stopping=True,
-    )
-    u_b, stats_b = np.asarray(u_b), np.asarray(stats_b)
-
-    iters = []
-    for i in range(b):
-        single = richardson_lucy_MM(
+    singles = [
+        richardson_lucy_MM(
             images[i], us[i], psfs[i], pad + 1, m - pad - 1, pad + 1,
             m - pad - 1, tau=0.0, iterations=25, step_factor=1e-3,
             lambd=1000.0, blind=True,
         )
-        assert int(stats_b[i, 0]) == single.iterations
-        np.testing.assert_allclose(u_b[i], np.asarray(single.u), atol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(psf_b)[i], np.asarray(single.psf), atol=1e-6
-        )
-        iters.append(single.iterations)
+        for i in range(b)
+    ]
+    iters = [s_.iterations for s_ in singles]
     # the scenario must actually exercise divergent stopping points
     assert len(set(iters)) > 1, iters
+
+    # 'vmap': one batched program; lanes match independent solves tightly
+    # (the while_loop batching rule freezes finished lanes).
+    # 'map' (the no-mesh default): lanes run sequentially through the FAST
+    # kernel paths; the scan context shifts op fusion by ulps, which the
+    # chaotic DoF division amplifies (docs/PERFORMANCE.md), so the value
+    # tolerance is looser — the per-lane STOPPING ITERATION must still
+    # match exactly in both schedules.
+    for schedule, atol_u, atol_p in (("vmap", 1e-5, 1e-6), ("map", 2e-3, 1e-4)):
+        u_b, psf_b, stats_b = batched_deconvolve(
+            images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+            iterations=25, step_factor=1e-3, lambd=1000.0, blind=True,
+            use_stopping=True, schedule=schedule,
+        )
+        u_b, stats_b = np.asarray(u_b), np.asarray(stats_b)
+        for i in range(b):
+            assert int(stats_b[i, 0]) == singles[i].iterations, (schedule, i)
+            np.testing.assert_allclose(
+                u_b[i], np.asarray(singles[i].u), atol=atol_u,
+                err_msg=f"{schedule} lane {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(psf_b)[i], np.asarray(singles[i].psf), atol=atol_p,
+                err_msg=f"{schedule} lane {i}",
+            )
 
 
 def test_pipeline_mesh_matches_single_device():
