@@ -60,6 +60,8 @@ def _cmd_deblur(args) -> int:
         save_psf_path=args.save_psf,
         precision=args.precision,
         early_stop=args.early_stop,
+        use_tv=args.use_tv,
+        tv_norm=args.tv_norm,
         trace=args.trace,
         nonblind_levels=args.nonblind_levels,
         mesh=mesh,
@@ -282,6 +284,16 @@ def main(argv=None) -> int:
                         "(stage boundaries sync the device queue, so the "
                         "traced run is slower than the async-overlapped "
                         "untraced one)")
+    p.add_argument("--use-tv", action="store_true",
+                   help="enable the intended-math TV regularization (the "
+                        "reference's dead TV(ut) branch, live; 'mm' solver "
+                        "only)")
+    p.add_argument("--tv-norm", default="channel",
+                   choices=["channel", "collab"],
+                   help="TV channel coupling with --use-tv: 'collab' = the "
+                        "collaborative L^{inf,1,1} RGB norm + Cauchy prior "
+                        "(ref README contribution; best for chromatic "
+                        "noise), 'channel' = decoupled per-channel")
     p.add_argument("--early-stop", type=float, default=0.0, metavar="R",
                    help="stop a NON-BLIND pyramid level once the whiteness "
                         "metric stops improving by cumulative relative R "

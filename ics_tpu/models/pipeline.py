@@ -101,6 +101,8 @@ def deblur_module(
     save_psf_path: str | None = None,
     precision: str = "exact",
     early_stop: float = 0.0,
+    use_tv: bool = False,
+    tv_norm: str = "channel",
     stats_out: list | None = None,
     nonblind_levels: str = "all",
     mesh=None,
@@ -145,6 +147,15 @@ def deblur_module(
     relative amount for 10 consecutive outers.  A documented deviation
     from the reference's stopping rule that skips the dead iterations
     coarse levels otherwise burn; quality-gated in tests/test_golden.py.
+
+    ``use_tv`` / ``tv_norm``: the intended-math TV regularization
+    (RLConfig.use_tv; 'mm' solver only — ignored when ``config`` is
+    passed).  ``tv_norm='collab'`` selects the collaborative L^{∞,1,1}
+    RGB norm with the Cauchy gradient prior (ref README.md:99-103,
+    113-114) — measured to dramatically improve chromatic-noise removal
+    (PERFORMANCE.md "Collaborative TV"); the default per-channel norm and
+    the parity mode (``use_tv=False``) are better on clean achromatic
+    content.
 
     ``psf_path`` / ``save_psf_path``: the PSF-reuse workflow the reference
     README *describes* but never implemented (ref README.md:131-133 "saving
@@ -292,6 +303,7 @@ def deblur_module(
         solver_cfg = config or RLConfig(
             p=p, norm=norm, order=order, priority=priority, refocus=refocus,
             dtype=solver_dtype, early_stop=early_stop,
+            use_tv=use_tv, tv_norm=tv_norm,
         )
     elif solver == "pam":
         from ics_tpu.models.rl_pam import richardson_lucy_PAM

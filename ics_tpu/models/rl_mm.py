@@ -59,6 +59,27 @@ class RLConfig:
     # vs 2.62 ms at 6.3 MP, 8.00 vs 8.45 at 24 MP on v5e — see
     # ops/tv.py::tv_op_auto).
     tv_method: str = "auto"
+    # Channel coupling of the use_tv regularizer:
+    #   'channel' — decoupled per-channel TV magnitudes (the literal
+    #               transcription of the reference's dead branch, ref
+    #               lib/deconvolution.pyx:516-517, which indexes TV buffers
+    #               per channel);
+    #   'collab'  — the collaborative L^{inf,1,1} RGB TV norm the reference
+    #               NAMES as its central contribution (ref README.md:113-114,
+    #               citing ipol.im/pub/art/2016/141): every channel's MM
+    #               weight uses the per-pixel channel-SUP of the magnitude
+    #               (ops/tv.py::collab_sup), handcuffing the channels
+    #               together for chromatic-noise removal.  Measured on the
+    #               chroma-noise fixture: see PERFORMANCE.md and
+    #               tests/test_golden.py::test_collaborative_tv_chroma.
+    # The epsilon in the magnitude is the scale parameter of the Cauchy
+    # distribution the sharp-image prior assumes for the gradients (ref
+    # README.md:99-103; lib/deconvolution.pyx:430 annotates epsilon as
+    # exactly that): the MM majorizer of the Cauchy log-prior
+    # log(eps + |grad u|) is the reweighted quadratic whose gradient is
+    # div/(TV(u)*TV(ut)) — the use_tv step-5 term — so the Cauchy prior IS
+    # the 1/TV(ut) reweighting with epsilon as its heavy-tail scale.
+    tv_norm: str = "channel"
     conv_method: str = "auto"  # 'direct' | 'fft' | 'auto'
     # 'exact': float32 convs (lax.Precision.HIGHEST, 6 bf16 MXU passes) for
     # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
@@ -215,6 +236,7 @@ def _per_channel_amaxabs(a: jax.Array) -> jax.Array:
         "correlation",
         "use_tv",
         "tv_method",
+        "tv_norm",
         "conv_method",
         "conv_precision",
         "psf_grad",
@@ -245,6 +267,7 @@ def _solve(
     correlation,
     use_tv,
     tv_method="auto",
+    tv_norm="channel",
     conv_method="auto",
     conv_precision="exact",
     psf_grad="auto",
@@ -265,7 +288,11 @@ def _solve(
         lax.Precision.HIGHEST if conv_precision == "exact" else lax.Precision.DEFAULT
     )
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
-    tvf = functools.partial(tv_op_auto, method=tv_method)
+    if tv_norm not in ("channel", "collab"):
+        raise ValueError(f"unknown tv_norm {tv_norm!r} (use 'channel' or 'collab')")
+    tvf = functools.partial(
+        tv_op_auto, method=tv_method, collab=(tv_norm == "collab")
+    )
     if psf_grad == "auto":
         psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"
     else:
@@ -630,6 +657,7 @@ def richardson_lucy_MM(
         correlation=bool(correlation),
         use_tv=cfg.use_tv,
         tv_method=cfg.tv_method,
+        tv_norm=cfg.tv_norm,
         conv_method=cfg.conv_method,
         conv_precision=cfg.conv_precision,
         psf_grad=cfg.psf_grad,

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +41,22 @@ _INNER_ITER = 5
 
 @dataclasses.dataclass(frozen=True)
 class PDConfig:
-    lambda_tv: float = 1e-3  # TV weight
-    sigma: float = 1.0 / math.sqrt(8.0)  # dual step (L = sqrt(8) for grad)
-    tau: float = 1.0 / math.sqrt(8.0)  # primal step
+    """Chambolle-Pock parameters.  Defaults are the measured winner of the
+    r4 (λ_tv × step) grid on the golden blind-deblur protocol (12 configs,
+    tests/test_golden.py::test_pam_pd_quality_bars): SSIM 0.8978 /
+    PSNR 34.01 vs the old (1e-3, 1/√8) defaults' 0.8909 / 33.62.  Any
+    σ·τ·8 ≤ 1 converges (L² = 8 for the gradient operator); the small
+    equal steps trade per-iteration progress for a stabler whiteness-stop
+    trajectory.  Characterized limitation: PD's exact Fourier data prox
+    recovers structure (SSIM above the blurred input) but amplifies the
+    input's compression noise — its PSNR stays ~1.2 dB BELOW the blurred
+    input at every grid point (raising λ_tv recovers PSNR only by
+    over-smoothing: 0.8645/34.29 at λ=1e-2).  The PSNR regression is
+    asserted explicitly in the golden test."""
+
+    lambda_tv: float = 1e-4  # TV weight
+    sigma: float = 0.05  # dual step
+    tau: float = 0.05  # primal step
     theta: float = 1.0  # extrapolation
 
 

@@ -21,14 +21,38 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tv_op", "tv_op_auto"]
+__all__ = ["tv_op", "tv_op_auto", "collab_sup"]
 
 _SQRT2 = math.sqrt(2.0)
 
 
+def collab_sup(tv: jax.Array) -> jax.Array:
+    """Collaborative L^{∞,1,1} channel coupling of a per-channel TV magnitude.
+
+    The reference's stated contribution (ref README.md:113-114) replaces the
+    per-channel (decoupled) TV regularizer with the **collaborative
+    L^{∞,1,1} RGB total-variation norm** of Duran, Moeller, Sbert & Cremers
+    (ipol.im/pub/art/2016/141): for the gradient tensor A[pixel, direction,
+    channel], apply ℓ^∞ over the COLOR axis innermost, then ℓ^1 over the
+    derivative directions, then ℓ^1 over pixels.  The per-channel magnitude
+    computed by :func:`tv_op` is already the ℓ^1 over directions (|ux|+|uy|
+    + diagonals, ε-regularized), so the collaborative magnitude is its
+    per-pixel supremum over channels — every channel is then normalized by
+    the SAME (worst-channel) magnitude, which is the "handcuffs between
+    channels": a gradient spike in one channel only (chromatic noise) is
+    charged the full penalty, while a luminance edge shared by all three
+    channels is charged once instead of three times.  That asymmetry is
+    what "helps dramatically in chromatic noise removal" (ref
+    README.md:114).
+
+    Returns shape (H, W, 1), broadcastable against per-channel arrays.
+    """
+    return jnp.max(tv, axis=2, keepdims=True)
+
+
 def tv_op_auto(
     u: jax.Array, epsilon: float, order: int = 2, norm: int = 1,
-    method: str = "auto",
+    method: str = "auto", collab: bool = False,
 ):
     """``tv_op`` with backend dispatch: 'pallas' = the VMEM band kernel
     (ops/pallas_tv.py; same math, hardware-certified bit-exact vs this
@@ -41,10 +65,17 @@ def tv_op_auto(
     single pass for the 11-read stencil, and the Pallas kernel's VMEM
     working set forces 8-16-row tiles at large widths (wider tiles fail
     Mosaic's compile — see ``tv_tile_h``), so **'auto' picks 'xla'**.
-    The kernel stays available explicitly and under ``--selftest``."""
+    ``collab=True`` returns the collaborative L^{∞,1,1} magnitude
+    (:func:`collab_sup` of the per-channel magnitude, shape (H, W, 1))
+    instead of the per-channel one; the divergence is per-channel in both
+    cases.  The channel-sup is applied OUTSIDE the backend kernel (XLA
+    fuses the 3-lane max into the stencil's output write; for the Pallas
+    backend it is one extra fused elementwise pass), so both backends stay
+    bit-identical to each other under either norm."""
     if method not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown tv method {method!r}")
     use_pallas = method == "pallas"  # 'auto' resolves to the measured winner, xla
+    out = None
     if use_pallas:
         from ics_tpu.ops.pallas_tv import tv_op_pallas, tv_tile_h
 
@@ -52,12 +83,17 @@ def tv_op_auto(
         c = u.shape[2] if u.ndim == 3 else 1
         tile_h = tv_tile_h(int(h), int(w), int(c))
         if tile_h is not None:
-            return tv_op_pallas(u, epsilon, order, norm, tile_h=tile_h)
-        if method == "pallas":
+            out = tv_op_pallas(u, epsilon, order, norm, tile_h=tile_h)
+        elif method == "pallas":
             raise ValueError(
                 f"no Pallas TV row tile fits VMEM for shape {u.shape}"
             )
-    return tv_op(u, epsilon, order, norm)
+    if out is None:
+        out = tv_op(u, epsilon, order, norm)
+    if collab and u.ndim == 3 and u.shape[2] > 1:
+        tv, div = out
+        out = (collab_sup(tv), div)
+    return out
 
 
 def _norm_l2(x, y, epsilon):

@@ -134,6 +134,7 @@ def batched_deconvolve(
             # also the measured winner (ops/tv.py) — force it rather than
             # silently dropping cfg.tv_method
             tv_method="xla",
+            tv_norm=cfg.tv_norm,
             conv_method=cfg.conv_method,
             conv_precision=cfg.conv_precision,
             dtype=cfg.dtype,

@@ -143,6 +143,7 @@ def sharded_richardson_lucy(
             # pallas_call does not partition under GSPMD; XLA stencil is
             # also the measured winner (ops/tv.py)
             ("tv_method", "xla"),
+            ("tv_norm", cfg.tv_norm),
             ("conv_method", "direct"),
             ("conv_precision", cfg.conv_precision),
             # pallas_call does not partition under GSPMD

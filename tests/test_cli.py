@@ -31,6 +31,19 @@ def test_cli_deblur(small_image, tmp_path):
     assert out.shape == arr.shape and out.dtype == np.uint16
 
 
+def test_cli_deblur_use_tv_collab(small_image, tmp_path):
+    """--use-tv --tv-norm collab reaches the collaborative L^{inf,1,1}
+    regularization path (ref README.md:113-114) from the CLI."""
+    path, arr = small_image
+    dest = str(tmp_path / "out")
+    assert main([
+        "deblur", path, dest, "--blur-width", "3", "--iterations", "2",
+        "--mask-size", "25", "--use-tv", "--tv-norm", "collab",
+    ]) == 0
+    out = imread(f"{dest}/in-deblurred.tif")
+    assert out.shape == arr.shape and out.dtype == np.uint16
+
+
 def test_cli_deblur_pam_solver(small_image, tmp_path):
     path, arr = small_image
     dest = str(tmp_path / "out")

@@ -153,12 +153,18 @@ def test_pam_pd_quality_bars(crops, tmp_path):
     golden value: PAM must land above the blurred input and the
     reference's published result, but below MM.
 
-    Measured (r3, same protocol as the MM golden: blind, bw=5, 50 iters,
+    Measured (r3/r4, same protocol as the MM golden: blind, bw=5, 50 iters,
     single CPU device):
         input  SSIM 0.8844  PSNR 35.24
         MM     SSIM 0.9027  PSNR 35.93
         PAM    SSIM 0.8886  PSNR 35.63   <- close-but-below MM
-        PD     SSIM 0.8909  PSNR 33.62   <- structure recovered, noisier
+        PD     SSIM 0.8978  PSNR 34.01   <- r4-tuned defaults (was 0.8909/33.62)
+    PD's PSNR stays BELOW the blurred input at every point of the r4
+    (λ_tv × step) tuning grid — the exact Fourier data prox recovers
+    structure but amplifies the input's compression noise, and raising
+    λ_tv recovers PSNR only by over-smoothing (see PDConfig).  That
+    regression is asserted explicitly below as a documented
+    characterization, not masked by an SSIM-only bar.
     """
     import subprocess
     import sys
@@ -200,8 +206,13 @@ np.save({str(out_npy)!r}, out)
     assert pam_psnr >= 35.4, pam_psnr
 
     pd_ssim = ssim(outs["pd"], truth, data_range=1.0)
+    pd_psnr = psnr(outs["pd"], truth, 1.0)
     assert pd_ssim > in_ssim, (pd_ssim, in_ssim)
-    assert pd_ssim >= 0.885, pd_ssim
+    assert pd_ssim >= 0.895, pd_ssim
+    # honest PSNR characterization: structure recovered, noise amplified —
+    # above the measured floor but (documented regression) below the input
+    in_psnr = psnr(crops["blured"], truth, 1.0)  # 35.24
+    assert 33.9 <= pd_psnr < in_psnr, (pd_psnr, in_psnr)
 
 
 def test_deblur_early_stop_quality(crops, tmp_path):
@@ -241,3 +252,154 @@ np.save({str(out_npy)!r}, out)
     truth = crops["original"]
     assert ssim(out, truth, data_range=1.0) >= 0.89
     assert psnr(out, truth, 1.0) >= 35.5
+
+
+def test_collaborative_tv_chroma(crops, tmp_path):
+    """The collaborative L^{inf,1,1} RGB TV norm (ref README.md:113-114,
+    "handcuffs between channels ... helps dramatically in chromatic noise
+    removal", citing ipol.im/pub/art/2016/141) must beat the per-channel
+    TV on a chromatic-noise fixture.
+
+    Protocol: ground truth rescaled into [0.05, 0.95] plus PURE-CHROMA
+    Gaussian noise (per-channel noise minus its luma component), solved
+    through the MM use_tv path with a DELTA PSF and a FIXED iteration
+    count.  The delta kernel isolates the REGULARIZER (the solve is pure
+    TV denoising through the exact solver dataflow) and keeps the
+    comparison away from the residual-whiteness stop, whose chaotic
+    trajectory re-rolls across environments and swallows small margins
+    (see memory of r4: the blur-deconvolution variant's 0.002-SSIM margins
+    were not reproducible; this protocol is bitwise process-stable).
+
+    Measured (r4, pinned single CPU device, it=150, lambda=100):
+        input            SSIM 0.2601  PSNR 23.74  chromaPSNR 23.75
+        use_tv channel   SSIM 0.2616  PSNR 23.78  chromaPSNR 23.78
+        use_tv collab    SSIM 0.3033  PSNR 24.76  chromaPSNR 24.80
+    collab wins all three metrics by fat margins (+0.042 SSIM, +1.0 dB);
+    the same ordering held at lambda in {10, 30, 100} and it in {50, 150,
+    300}.  See PERFORMANCE.md "Collaborative TV".
+    """
+    import subprocess
+    import sys
+
+    out_npz = tmp_path / "collab.npz"
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.rl_mm import richardson_lucy_MM, RLConfig
+
+with Image.open({os.path.join(IMG, 'crop-original.jpg')!r}) as im:
+    truth = np.asarray(im, np.float32) / 255.0
+truth = (0.05 + 0.9 * truth[100:356, 100:356]).astype(np.float32)
+rng = np.random.default_rng(42)
+n = rng.normal(0, 0.08, truth.shape).astype(np.float32)
+noisy = np.clip(truth + n - n.mean(axis=2, keepdims=True), 0.02, 1).astype(np.float32)
+delta = np.zeros((5, 5), np.float32); delta[2, 2] = 1.0
+psf = np.dstack([delta] * 3)
+u0 = np.pad(noisy, ((2, 2), (2, 2), (0, 0)), mode='edge')
+outs = {{'noisy': noisy, 'truth': truth}}
+for tvn in ('channel', 'collab'):
+    r = richardson_lucy_MM(noisy, u0, psf, 0, 256, 0, 256, 1e9,
+        iterations=150, blind=False, lambd=100.0, step_factor=1e-3,
+        config=RLConfig(use_tv=True, tv_norm=tvn))
+    outs[tvn] = np.clip(np.asarray(r.u), 0, 1)
+np.savez({str(out_npz)!r}, **outs)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    d = np.load(out_npz)
+    truth = d["truth"]
+
+    def chroma(a):
+        return a - a.mean(axis=2, keepdims=True)
+
+    def metrics(a):
+        return (
+            ssim(a, truth, data_range=1.0),
+            psnr(a, truth, 1.0),
+            psnr(chroma(a), chroma(truth), 1.0),
+        )
+
+    m_in = metrics(d["noisy"])
+    m_ch = metrics(d["channel"])
+    m_co = metrics(d["collab"])
+    # collab beats per-channel AND the input on SSIM, PSNR and the
+    # chroma-noise metric
+    for i in range(3):
+        assert m_co[i] > m_ch[i], (i, m_co, m_ch)
+        assert m_co[i] > m_in[i], (i, m_co, m_in)
+    # the margins are structural, not noise: +0.04 SSIM, +0.9 dB measured
+    assert m_co[0] >= m_ch[0] + 0.03, (m_co[0], m_ch[0])
+    assert m_co[1] >= m_ch[1] + 0.8, (m_co[1], m_ch[1])
+    assert m_co[2] >= m_ch[2] + 0.8, (m_co[2], m_ch[2])
+    # absolute floors at the measured values (slack for platform drift)
+    assert m_co[0] >= 0.295 and m_co[1] >= 24.6 and m_co[2] >= 24.6, m_co
+
+
+def test_use_tv_golden_quality(crops, tmp_path):
+    """Golden-quality characterization of the intended-math mode
+    (``use_tv=True`` — the live TV(ut) branch the reference comments out,
+    ref lib/deconvolution.pyx:464-465, 516-517).
+
+    Measured (r4, same protocol as the parity golden, pinned 1-device CPU;
+    stable across confidence 1/3/10, degrading at 30):
+        parity (use_tv=False)      SSIM 0.9027  PSNR 35.93
+        use_tv channel             SSIM 0.8834  PSNR 35.21
+        use_tv collab              SSIM 0.8842  PSNR 35.22
+        (blurred input             SSIM 0.8844  PSNR 35.24)
+    On this blind golden fixture the intended math LOSES ~0.02 SSIM to the
+    as-checked-in parity dataflow — the reference author's decision to
+    comment the TV(ut) calls out is quality-justified here, and parity
+    stays our default.  The TV mode's value shows up on chromatic noise
+    (test_collaborative_tv_chroma), not on this achromatic fixture.  This
+    test pins the measured envelope so solver changes can't silently
+    corrupt the TV path.
+    """
+    import subprocess
+    import sys
+
+    outs = {}
+    for tvn in ("channel", "collab"):
+        out_npy = tmp_path / f"usetv_{tvn}.npy"
+        child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.pipeline import deblur_module
+from ics_tpu.models.rl_mm import RLConfig
+with Image.open({os.path.join(IMG, 'crop-blured.jpg')!r}) as im:
+    pic = np.asarray(im, np.uint8)
+out = deblur_module(pic, 'g', None, 5, mask=[275, 275], mask_size=255,
+                    tolerance=0.1, iterations=50, verbose=False,
+                    config=RLConfig(use_tv=True, tv_norm={tvn!r}))
+np.save({str(out_npy)!r}, out)
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = ""
+        proc = subprocess.run(
+            [sys.executable, "-c", child], env=env, capture_output=True,
+            text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr
+        outs[tvn] = np.load(out_npy).astype(np.float32) / 65535.0
+
+    truth = crops["original"]
+    for tvn, out in outs.items():
+        s = ssim(out, truth, data_range=1.0)
+        p = psnr(out, truth, 1.0)
+        # the measured envelope: ~input quality, not corrupted
+        assert s >= 0.88, (tvn, s)
+        assert p >= 35.0, (tvn, p)
+        # the characterized gap vs the parity golden (0.9027) is real: if
+        # use_tv ever BEATS parity here, the comment above is stale —
+        # surface it rather than silently passing
+        assert s <= 0.905, (tvn, s)

@@ -95,3 +95,64 @@ def test_tv_op_auto_dispatch():
     assert tv_tile_h(512, 512) == 64
     assert tv_tile_h(4000, 6000) < 64
     assert tv_tile_h(4000, 6000, budget=1024) is None
+
+
+def test_collab_sup_is_channel_max():
+    """Collaborative L^{inf,1,1} coupling (ref README.md:113-114, the
+    Duran et al. ipol.im/pub/art/2016/141 norm): the magnitude is the
+    per-pixel channel supremum of the per-channel magnitude; the
+    divergence stays per-channel."""
+    import jax.numpy as jnp
+
+    from ics_tpu.ops.tv import collab_sup, tv_op, tv_op_auto
+
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.random((32, 44, 3)), jnp.float32)
+    for order in (1, 2):
+        for norm in (1, 2):
+            tv, div = tv_op(u, 1e-3, order, norm)
+            ctv, cdiv = tv_op_auto(u, 1e-3, order, norm, collab=True)
+            assert ctv.shape == (32, 44, 1)
+            np.testing.assert_array_equal(
+                np.asarray(ctv)[..., 0], np.max(np.asarray(tv), axis=2)
+            )
+            np.testing.assert_array_equal(np.asarray(cdiv), np.asarray(div))
+            np.testing.assert_array_equal(
+                np.asarray(collab_sup(tv)), np.asarray(ctv)
+            )
+    # pallas backend goes through the same channel-sup wrapper
+    ctv_p, _ = tv_op_auto(u, 1e-3, 2, 2, method="pallas", collab=True)
+    ctv_x, _ = tv_op_auto(u, 1e-3, 2, 2, method="xla", collab=True)
+    np.testing.assert_allclose(np.asarray(ctv_p), np.asarray(ctv_x), atol=1e-6)
+
+
+def test_collab_equals_channel_on_achromatic():
+    """On a grayscale (identical-channel) image the channel-sup is a no-op:
+    the collaborative norm only changes behavior where channels disagree —
+    i.e. exactly on chromatic structure."""
+    import jax.numpy as jnp
+
+    from ics_tpu.ops.tv import tv_op, tv_op_auto
+
+    rng = np.random.default_rng(12)
+    g = np.repeat(rng.random((24, 24, 1)).astype(np.float32), 3, axis=2)
+    tv, _ = tv_op(jnp.asarray(g), 1e-4)
+    ctv, _ = tv_op_auto(jnp.asarray(g), 1e-4, collab=True)
+    np.testing.assert_allclose(
+        np.asarray(ctv)[..., 0], np.asarray(tv)[..., 0], atol=1e-7
+    )
+
+
+def test_solver_rejects_unknown_tv_norm():
+    import pytest
+
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    img = np.full((16, 16, 3), 0.5, np.float32)
+    u = np.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    psf = np.full((5, 5, 3), 1 / 25, np.float32)
+    with pytest.raises(ValueError, match="tv_norm"):
+        richardson_lucy_MM(
+            img, u, psf, 0, 16, 0, 16, 0.1, iterations=2, blind=False,
+            config=RLConfig(use_tv=True, tv_norm="bogus"),
+        )
