@@ -273,8 +273,10 @@ def main(argv=None) -> int:
                         "(faster; the reference author's own commented-out "
                         "variant)")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "mixed", "fast"],
+                   choices=["exact", "high", "mixed", "fast"],
                    help="exact=f32 reference parity (recommended); "
+                        "high=f32 with bf16x3-split MXU convs (~7e-6 conv "
+                        "err, 1.3x conv speed, TPU only); "
                         "mixed=bf16 convs + f32 residual (SSIM>=0.999 at "
                         "moderate sizes, but long full-resolution solves "
                         "can NaN through the epsilon-free DoF division — "

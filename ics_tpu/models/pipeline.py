@@ -290,12 +290,16 @@ def deblur_module(
 
     images, kernels = build_pyramid(blur_width, confidence)
 
-    # precision: 'exact' = float32 reference parity; 'mixed' = bf16 convs +
-    # f32 incremental residual on the non-blind full-frame solves (~2.3x on
-    # large frames, SSIM >= 0.999 — see RLConfig.dtype); 'fast' = all-bf16.
-    solver_dtype = {"exact": "float32", "mixed": "mixed", "fast": "bfloat16"}[
-        precision
-    ]
+    # precision: 'exact' = float32 reference parity; 'high' = f32 solve
+    # with bf16x3-split MXU convs (~7e-6 conv rel err, 1.34x conv speed —
+    # RLConfig.conv_precision); 'mixed' = bf16 convs + f32 incremental
+    # residual on the non-blind full-frame solves (~2.3x on large frames —
+    # see RLConfig.dtype); 'fast' = all-bf16.
+    solver_dtype = {
+        "exact": "float32", "high": "float32", "mixed": "mixed",
+        "fast": "bfloat16",
+    }[precision]
+    solver_conv_precision = "high" if precision == "high" else "exact"
 
     deblured_image = pic
     if solver == "mm":
@@ -303,6 +307,7 @@ def deblur_module(
         solver_cfg = config or RLConfig(
             p=p, norm=norm, order=order, priority=priority, refocus=refocus,
             dtype=solver_dtype, early_stop=early_stop,
+            conv_precision=solver_conv_precision,
             use_tv=use_tv, tv_norm=tv_norm,
         )
     elif solver == "pam":

@@ -82,8 +82,13 @@ class RLConfig:
     tv_norm: str = "channel"
     conv_method: str = "auto"  # 'direct' | 'fft' | 'auto'
     # 'exact': float32 convs (lax.Precision.HIGHEST, 6 bf16 MXU passes) for
-    # reference parity.  'fast': single-pass bf16 MXU convs — ~3-6x the conv
-    # throughput at a small accuracy cost; validate SSIM for your use.
+    # reference parity.  'high': f32 convs through the bf16x3 hi/lo-split
+    # MXU kernel (3 single-pass matmuls, ~7e-6 rel err, selftest-certified
+    # on hardware; measured 12.0 vs 16.2 ms per 9x9 24 MP conv = 1.34x) —
+    # NOT bit-parity, so the whiteness-stop trajectory can differ from
+    # 'exact' (see docs/PERFORMANCE.md "Measurement discipline"); opt-in.
+    # 'fast': single-pass bf16 MXU convs — ~3-6x the conv throughput at a
+    # ~4e-3 accuracy cost; validate SSIM for your use.
     conv_precision: str = "exact"
     # Compute dtype of the inner loop:
     #   'float32'  — reference parity (the default);
@@ -284,9 +289,16 @@ def _solve(
     mk = psf.shape[0]
     pad = (u_m - m) // 2
     epsilon = _EPS_BLIND if blind else _EPS_NONBLIND
-    prec = (
-        lax.Precision.HIGHEST if conv_precision == "exact" else lax.Precision.DEFAULT
-    )
+    if conv_precision not in ("exact", "high", "fast"):
+        raise ValueError(
+            f"unknown conv_precision {conv_precision!r} "
+            "(use 'exact', 'high' or 'fast')"
+        )
+    prec = {
+        "exact": lax.Precision.HIGHEST,
+        "high": "bf16x3",
+        "fast": lax.Precision.DEFAULT,
+    }[conv_precision]
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
     if tv_norm not in ("channel", "collab"):
         raise ValueError(f"unknown tv_norm {tv_norm!r} (use 'channel' or 'collab')")

@@ -319,15 +319,24 @@ def _conv_pallas_mxu_vmappable(
         raise ValueError(
             f"pallas_mxu supports kernel widths <= 129, got {k3.shape[2]}"
         )
-    tile_h = mxu_tile_h(a3.shape, a3.dtype.itemsize, k3.shape[1], k3.shape[2])
+    if precision == "bf16x3" and a3.dtype == jnp.float32:
+        # f32 emulation by hi/lo bf16 split inside the kernel: 3 single-
+        # pass MXU matmuls vs HIGHEST's 6, ~7e-6 rel error on hardware
+        # (selftest-certified) — see pallas_conv_mxu._split_hi_lo
+        precision_name = "bf16x3"
+    else:
+        precision_name = (
+            "highest" if precision == lax.Precision.HIGHEST else "default"
+        )
+    tile_h = mxu_tile_h(
+        a3.shape, a3.dtype.itemsize, k3.shape[1], k3.shape[2],
+        split=precision_name == "bf16x3",
+    )
     if tile_h is None:
         taps = k3.shape[-2] * k3.shape[-1]
         if taps <= _STENCIL_THRESHOLD_TAPS:
             return _conv_stencil(a3, k3, mode)
         return _conv_direct(a3, k3, mode, lax.Precision.HIGHEST)
-    precision_name = (
-        "highest" if precision == lax.Precision.HIGHEST else "default"
-    )
 
     @custom_vmap
     def run(a, k):
@@ -357,9 +366,31 @@ def _conv_pallas_mxu_vmappable(
 
 def _dispatch(a3: jax.Array, k3: jax.Array, mode: str, method: str, precision):
     _, mk, nk = k3.shape
+    bf16x3 = precision == "bf16x3"
+    if bf16x3:
+        # the split applies only inside the MXU band kernel; every other
+        # backend treats 'bf16x3' as exact f32 (HIGHEST)
+        precision = lax.Precision.HIGHEST
     if method == "auto":
         taps = mk * nk
         on_tpu = jax.default_backend() == "tpu"
+        if (
+            bf16x3
+            and on_tpu
+            and a3.dtype == jnp.float32
+            and _MXU_THRESHOLD_TAPS <= taps <= _FFT_THRESHOLD_TAPS
+            and nk <= 129
+        ):
+            from ics_tpu.ops.pallas_conv_mxu import mxu_tile_h
+
+            if mxu_tile_h(
+                a3.shape, a3.dtype.itemsize, mk, nk, split=True
+            ) is not None:
+                # measured r4 (chained-scan, 9x9 'same'): 12.03 ms vs the
+                # VPU kernel's 16.17 at 24 MP f32 (1.34x), 3.94 vs 4.78
+                # at 6.3 MP; rel err ~7e-6 (not bit-parity -> opt-in via
+                # RLConfig.conv_precision='high', never default-f32)
+                return _conv_pallas_mxu_vmappable(a3, k3, mode, "bf16x3")
         # Measured on v5e, 9x9 'same' conv (ms, r3 bench.py --kernels):
         #   6.3 MP — pallas(VPU fori) f32 4.7 / bf16 3.5, pallas_mxu
         #   (in-VMEM banded matmul) f32 5.1 / bf16 2.5, XLA mxu f32 10.6 /

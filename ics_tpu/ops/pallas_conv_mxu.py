@@ -50,11 +50,13 @@ def _round8(n: int) -> int:
 
 
 def mxu_tile_h(a3_shape, a3_itemsize: int, mk: int, nk: int,
-               budget: int = 13 * 2**20) -> int | None:
+               budget: int = 13 * 2**20, split: bool = False) -> int | None:
     """Largest row tile whose VMEM working set fits the scoped budget:
     band scratch + rolled fori-carry copy (input dtype), the f32
     accumulator, the double-buffered output block, and the mix-matrix
-    block."""
+    block.  ``split`` = the bf16x3 f32-emulation path, which carries TWO
+    rolled bf16 bands (hi+lo, same bytes as one f32 band) on top of the
+    f32 DMA scratch, and a doubled (hi+lo) mix block."""
     c, _, w = a3_shape
     out_n = w  # 'same' is the worst case the solver uses; 'full' adds nk-1
     nb = -(-(out_n + nk - 1) // _B)
@@ -62,15 +64,41 @@ def mxu_tile_h(a3_shape, a3_itemsize: int, mk: int, nk: int,
     item = a3_itemsize
     for tile_h in (128, 64, 32):
         band_rows = tile_h + _round8(mk - 1)
+        band = band_rows * ws
+        if split:
+            # f32 DMA scratch + (hi, lo) bf16 carries + their roll temps
+            need_band = band * 4 + 2 * 2 * band * 2
+            mix_bytes = 2 * mk * 2 * _B * _B * 2  # (2, mk, 2B, B) bf16
+        else:
+            need_band = 2 * band * item  # band scratch + rolled carry
+            mix_bytes = mk * 2 * _B * _B * item
         need = (
-            2 * band_rows * ws * item  # band scratch + rolled carry
+            need_band
             + tile_h * nb * _B * 4  # f32 accumulator
             + 2 * tile_h * out_n * item  # double-buffered out block
-            + mk * 2 * _B * _B * item  # mix block (mk, 256, 128)
+            + mix_bytes
         )
         if need < budget:
             return tile_h
     return None
+
+
+def _split_hi_lo(x: jax.Array):
+    """Fold-proof f32 -> (hi, lo) bf16 split for the bf16x3 emulation.
+
+    The arithmetic split ``hi = bf16(x); lo = bf16(x - f32(hi))`` is
+    ALGEBRAICALLY SIMPLIFIED AWAY by XLA:TPU (the f32->bf16->f32 round
+    trip is elided, so ``lo`` constant-folds to zero — measured on v5e:
+    the "corrected" product was bit-identical to the single bf16 pass).
+    Masking the low 16 mantissa bits through integer ops instead gives an
+    exact-in-bf16 ``hi`` (truncation) that no simplifier can see through;
+    ``x - hi`` is then exact in f32 and its bf16 rounding leaves a total
+    representation error ~2^-16 relative."""
+    bits = lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
 def _mix_matrices(k3: jax.Array, dtype) -> jax.Array:
@@ -85,6 +113,58 @@ def _mix_matrices(k3: jax.Array, dtype) -> jax.Array:
     dc = jnp.clip(d, 0, nk - 1)
     # kf[:, :, dc]: (C, MK, 2B, B); zero outside the band
     return jnp.where(valid[None, None], kf[:, :, dc], 0).astype(dtype)
+
+
+def _make_split_kernel(mk: int, tile_h: int, nb: int, out_n: int):
+    """bf16x3 f32 emulation: split the f32 band into hi = bf16(x) and
+    lo = bf16(x - hi) (≈16 mantissa bits combined), pre-split the mixing
+    matrices the same way, and accumulate THREE single-pass bf16 MXU
+    matmuls (hi@hi + hi@lo + lo@hi) in f32 — the standard TPU route to
+    near-f32 matmul accuracy at half HIGHEST's six-pass cost (the dropped
+    lo@lo term is ~2^-32 relative).  Measured accuracy on real images:
+    ~1e-6 relative vs the HIGHEST-precision kernel (bench.py --selftest
+    certifies it on-chip)."""
+    band_rows = tile_h + _round8(mk - 1)
+
+    def kernel(a_hbm, mix_ref, out_ref, scratch, sem):
+        ch = pl.program_id(0)
+        i = pl.program_id(1)
+        band = pltpu.make_async_copy(
+            a_hbm.at[ch, pl.ds(i * tile_h, band_rows)], scratch, sem
+        )
+        band.start()
+        band.wait()
+
+        hi0, lo0 = _split_hi_lo(scratch[...])
+
+        def row(t1, carry):
+            hi, lo, acc = carry
+            m_hi = mix_ref[0, 0, t1]  # (2B, B) bf16 band matrices
+            m_lo = mix_ref[0, 1, t1]
+
+            def blk(j):
+                h = hi[0:tile_h, j * _B : j * _B + 2 * _B]
+                l = lo[0:tile_h, j * _B : j * _B + 2 * _B]
+                dot = functools.partial(
+                    lax.dot_general,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+                return dot(h, m_hi) + dot(h, m_lo) + dot(l, m_hi)
+
+            acc = acc + jnp.concatenate([blk(j) for j in range(nb)], axis=1)
+            hi = jnp.concatenate([hi[1:], hi[:1]], axis=0)
+            lo = jnp.concatenate([lo[1:], lo[:1]], axis=0)
+            return hi, lo, acc
+
+        _, _, acc = jax.lax.fori_loop(
+            0, mk, row,
+            (hi0, lo0, jnp.zeros((tile_h, nb * _B), jnp.float32)),
+        )
+        out_ref[0] = acc[:, :out_n]
+
+    return kernel
 
 
 def _make_kernel(mk: int, tile_h: int, nb: int, out_n: int, dtype, precision):
@@ -144,9 +224,11 @@ def _conv_planar_mxu(a, k, *, mode, tile_h, interpret, precision_name):
     """a: (C, H, W); k: (C, MK, NK) -> scipy-convolve ``mode`` output."""
     c, m, n = a.shape
     _, mk, nk = k.shape
+    split = precision_name == "bf16x3"
     precision = {
         "highest": lax.Precision.HIGHEST,
         "default": lax.Precision.DEFAULT,
+        "bf16x3": lax.Precision.DEFAULT,
     }[precision_name]
     (plo, phi) = _pads(mk, mode)
     (qlo, qhi) = _pads(nk, mode)
@@ -167,18 +249,30 @@ def _conv_planar_mxu(a, k, *, mode, tile_h, interpret, precision_name):
         ),
     )
 
-    mix = _mix_matrices(k, a.dtype)
+    if split:
+        mix_hi, mix_lo = _split_hi_lo(_mix_matrices(k, jnp.float32))
+        mix = jnp.stack([mix_hi, mix_lo], axis=1)  # (C, 2, MK, 2B, B)
+        kern = _make_split_kernel(mk, tile_h, nb, out_n)
+        mix_spec = pl.BlockSpec(
+            (1, 2, mk, 2 * _B, _B),
+            lambda ch, i: (ch, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        mix = _mix_matrices(k, a.dtype)
+        kern = _make_kernel(mk, tile_h, nb, out_n, a.dtype, precision)
+        mix_spec = pl.BlockSpec(
+            (1, mk, 2 * _B, _B),
+            lambda ch, i: (ch, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     out = pl.pallas_call(
-        _make_kernel(mk, tile_h, nb, out_n, a.dtype, precision),
+        kern,
         grid=(c, grid_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(
-                (1, mk, 2 * _B, _B),
-                lambda ch, i: (ch, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            mix_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, out_n), lambda ch, i: (ch, i, 0),
@@ -222,17 +316,23 @@ def conv_rgb_pallas_mxu(
         )
     a_pl = jnp.moveaxis(a, -1, 0)
     k_pl = jnp.moveaxis(jnp.asarray(k, a.dtype), -1, 0)
+    if precision == "bf16x3":
+        # f32 emulation by hi/lo bf16 split (3 single-pass MXU matmuls vs
+        # HIGHEST's 6) — only meaningful for f32 operands
+        precision_name = "bf16x3" if a.dtype == jnp.float32 else "default"
+    else:
+        precision_name = (
+            "highest" if precision == lax.Precision.HIGHEST else "default"
+        )
     if tile_h is None:
         tile_h = mxu_tile_h(
-            a_pl.shape, a_pl.dtype.itemsize, k_pl.shape[1], k_pl.shape[2]
+            a_pl.shape, a_pl.dtype.itemsize, k_pl.shape[1], k_pl.shape[2],
+            split=precision_name == "bf16x3",
         )
         if tile_h is None:
             raise ValueError(
                 f"no MXU conv row tile fits VMEM for shape {a.shape}"
             )
-    precision_name = (
-        "highest" if precision == lax.Precision.HIGHEST else "default"
-    )
     out = _conv_planar_mxu(
         a_pl,
         k_pl,

@@ -101,6 +101,14 @@ def certify_kernels(report=print) -> bool:
         want,
         2e-2,
     )
+    check(
+        "conv (MXU bf16x3 f32)",
+        lambda: conv_rgb_pallas_mxu(
+            img, kern, mode="same", precision="bf16x3"
+        ),
+        want,
+        1e-4,
+    )
 
     # 3. TV stencil
     from ics_tpu.ops.pallas_tv import tv_op_pallas

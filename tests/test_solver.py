@@ -321,3 +321,30 @@ def test_early_stop_plateau_cuts_dead_iterations():
     # blind solves keep the reference stopping rule regardless
     blind_ref = run(0.0, blind=True).iterations
     assert run(1e-3, blind=True).iterations == blind_ref
+
+
+def test_solver_conv_precision_high():
+    """conv_precision='high' (bf16x3 MXU convs) runs and validates; off
+    TPU it falls back to the exact backends, so the result equals 'exact'
+    bitwise here."""
+    import pytest
+
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    rng = np.random.default_rng(4)
+    img = (0.1 + 0.8 * rng.random((32, 32, 3))).astype(np.float32)
+    u = np.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    psf = np.full((5, 5, 3), 1 / 25, np.float32)
+
+    r_exact = richardson_lucy_MM(
+        img, u, psf, 0, 32, 0, 32, 0.1, iterations=3, blind=False,
+        config=RLConfig(conv_precision="exact"))
+    r_high = richardson_lucy_MM(
+        img, u, psf, 0, 32, 0, 32, 0.1, iterations=3, blind=False,
+        config=RLConfig(conv_precision="high"))
+    np.testing.assert_array_equal(np.asarray(r_exact.u), np.asarray(r_high.u))
+
+    with pytest.raises(ValueError, match="conv_precision"):
+        richardson_lucy_MM(
+            img, u, psf, 0, 32, 0, 32, 0.1, iterations=2, blind=False,
+            config=RLConfig(conv_precision="bogus"))
