@@ -97,16 +97,18 @@ class RLConfig:
     #                regularization difference (u - ut) and every reduction
     #                in float32, so sub-ulp updates don't wash out.  Meets
     #                the 0.999-SSIM bar at mask/crop scales (tested).
-    #                The r2 large-frame NaN (bf16-quantized gradu hitting
-    #                the epsilon-free DoF division's exact-zero
-    #                denominator on long full-res solves) is closed by
-    #                dof_guard, which defaults ON for this mode.
-    #                FULL-RESOLUTION CAVEAT (measured, r3): the bf16
-    #                convs perturb the whiteness metric enough to re-roll
-    #                the chaotic stop trajectory, and on a synthetic
-    #                24 MP ground-truth pair that divergence is a real
-    #                quality loss (SSIM 0.88 vs f32's 0.96 against
-    #                truth).  Prefer 'float32' for full-frame quality
+    #                The r2 large-frame NaN and the r4-diagnosed DoF
+    #                amplifier (bf16-quantized gradu breaking the
+    #                epsilon-free DoF division's f32 assumptions on long
+    #                full-res solves) are closed by dof_guard, which
+    #                defaults ON for this mode.
+    #                FULL-RESOLUTION CAVEAT (re-measured r4, with the
+    #                guard's clamp): the bf16 convs re-roll the chaotic
+    #                whiteness-stop trajectory, landing a different
+    #                converged iterate — on the synthetic 24 MP
+    #                ground-truth pair, SSIM 0.9430/PSNR 34.48 vs truth
+    #                against f32's 0.9564/35.97 (SSIM 0.9943 vs the f32
+    #                output).  Prefer 'float32' for parity-grade quality
     #                work; mixed is the throughput/preview mode;
     #   'bfloat16' — everything in bf16 (fastest; SSIM ~0.990 — opt-in for
     #                throughput-first work).
@@ -129,20 +131,24 @@ class RLConfig:
     # the reference's in-loop diagnostic prints (ref lib/deconvolution.pyx:
     # 593, 618, 658-669).
     record_metrics: bool = False
-    # Zero-denominator guard on the depth-of-field term.  The reference
-    # computes ((gradu - image) / (gradu + image))**2 with NO epsilon (ref
-    # lib/deconvolution.pyx:499-502); in float32 on real images the
-    # denominator never lands on exact zero, but bf16-quantized gradu makes
-    # it likely enough that long full-resolution mixed/bf16 solves seed a
-    # frame-flooding NaN (measured on the 24 MP bench frame in r2).  The
-    # guard substitutes dof = 1 exactly where gradu + image == 0 — i.e.
-    # "deblurring is untrustworthy here, keep the observed pixel", the
-    # limit the blend step takes as dof grows — and leaves every other
-    # pixel bit-identical.  None = auto: ON for 'mixed'/'bfloat16', OFF
-    # for 'float32' (strict parity; the guard would be a no-op there
-    # anyway on non-degenerate inputs).  This is a documented deviation
-    # from the reference's epsilon-free math, active only where the
-    # reference's own float32 assumptions don't hold.
+    # Guard on the depth-of-field term.  The reference computes
+    # dof = ((gradu - image) / (gradu + image))**2 with NO epsilon (ref
+    # lib/deconvolution.pyx:499-502) and blends u <- (1-dof)*u + dof*image
+    # (ref :552) — a convex mix only for dof in [0,1].  In float32 on real
+    # images the denominator neither lands on exact zero nor gets small
+    # enough to push dof past 1, but bf16-quantized gradu breaks both
+    # assumptions on long solves: an EXACT zero floods the frame with NaN
+    # (measured on the 24 MP bench frame in r2), and a NEAR zero turns the
+    # blend into an amplifier that seeds locally blown-out patches
+    # (measured r4: a ~20 px max-brightness blob from a mixed coarse
+    # pyramid level).  The guard closes both with the same semantics —
+    # "deblurring is untrustworthy here, keep the observed pixel": dof = 1
+    # exactly where gradu + image == 0, and dof capped at 1 (the pure-
+    # observed-pixel limit) everywhere else.  Bit-identical on every pixel
+    # where the reference's f32 assumptions hold (dof <= 1; tested).
+    # None = auto: ON for 'mixed'/'bfloat16', OFF for 'float32' (strict
+    # parity).  A documented deviation from the reference's epsilon-free
+    # math, active only where its float32 assumptions don't hold.
     dof_guard: bool | None = None
     # Opt-in whiteness-plateau early stop for NON-BLIND solves (OFF =
     # strict reference parity).  With early_stop = r > 0, a non-blind
@@ -390,6 +396,17 @@ def _solve(
             dof = ((gradu_crop - image) / (gradu_crop + image)) ** 2
         if not blind:
             dof = dof / lambd
+        if guard:
+            # The blend u <- (1-dof)*u + dof*image is only a convex mix
+            # for dof in [0,1]; a NEAR-zero denominator (bf16-quantized
+            # gradu almost cancelling image) makes dof an amplifier
+            # (measured: a ~20px blown-out blob seeded by a coarse mixed
+            # level).  dof > 1 means "no confidence in the deblurred
+            # value", whose meaningful limit is keeping the observed
+            # pixel — the same semantics as the exact-zero guard — so
+            # clamp.  Bit-identical wherever dof <= 1, i.e. everywhere
+            # the reference's own f32 assumptions hold.
+            dof = jnp.minimum(dof, 1.0)
 
         # 5. regularization step (ref :508-519)
         if use_tv:

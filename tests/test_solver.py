@@ -270,8 +270,11 @@ def test_dof_guard_closes_zero_denominator_nan():
 
 
 def test_dof_guard_is_identity_off_degenerate_pixels():
-    """On inputs with no exact-zero denominators, guard on vs off must be
-    BIT-identical in f32 — the guard only rewrites dof where den == 0."""
+    """Where neither of the guard's two rewrites can fire — no exact-zero
+    denominator (the NaN fix) and dof <= 1 everywhere (the amplifier
+    clamp; lambd here is large enough that dof = ratio^2/lambd cannot
+    reach 1 short of a cancellation the fixture doesn't have) — guard on
+    vs off must be BIT-identical in f32."""
     from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
 
     rng = np.random.default_rng(3)
@@ -284,12 +287,49 @@ def test_dof_guard_is_identity_off_degenerate_pixels():
         return np.asarray(
             richardson_lucy_MM(
                 img, u, psf, 4, 44, 4, 44, 0.1, iterations=6,
-                step_factor=1e-3, lambd=1000, blind=False, config=cfg,
+                step_factor=1e-3, lambd=1e12, blind=False, config=cfg,
                 verbose=False,
             ).u
         )
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_dof_guard_clamps_near_zero_amplifier():
+    """The guard's dof <= 1 clamp: a near-zero (not exactly zero) DoF
+    denominator makes dof an amplifier in the blend
+    u <- (1-dof)*u + dof*image, which seeds locally blown-out patches in
+    reduced-precision solves (measured: a ~20px blob from a mixed coarse
+    pyramid level).  With the guard on, the iterate must stay within the
+    physically meaningful range the blend's convex form implies."""
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
+
+    rng = np.random.default_rng(7)
+    img = (0.1 + 0.8 * rng.random((48, 48, 3))).astype(np.float32)
+    psf = np.ones((3, 3, 3), np.float32) / 9.0
+    u = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+
+    # lambd=1 leaves dof = ratio^2 undamped: random fixtures contain
+    # near-cancelling (gradu + image) pixels, so unguarded f32 blows up
+    # (|u| far outside [0,1]) — reproducing the failure mode — while the
+    # guarded solve stays bounded by the convex-blend envelope.
+    def run(guard):
+        cfg = RLConfig(dtype="float32", dof_guard=guard)
+        return np.asarray(
+            richardson_lucy_MM(
+                img, u, psf, 4, 44, 4, 44, 0.1, iterations=6,
+                step_factor=1e-3, lambd=1.0, blind=False, config=cfg,
+                verbose=False,
+            ).u
+        )
+
+    unguarded, guarded = run(False), run(True)
+    # measured: unguarded peaks at ~5.4 (6x out of the [0,1] image range,
+    # growing with the blob mechanism), guarded stays at ~0.9
+    blown = np.nanmax(np.abs(unguarded))
+    assert blown > 2.0 or not np.isfinite(unguarded).all()
+    assert np.isfinite(guarded).all()
+    assert np.abs(guarded).max() < 1.5
 
 
 def test_early_stop_plateau_cuts_dead_iterations():
