@@ -60,6 +60,7 @@ def _cmd_deblur(args) -> int:
         save_psf_path=args.save_psf,
         precision=args.precision,
         early_stop=args.early_stop,
+        blind_budget=args.blind_budget,
         use_tv=args.use_tv,
         tv_norm=args.tv_norm,
         trace=args.trace,
@@ -273,14 +274,21 @@ def main(argv=None) -> int:
                         "(faster; the reference author's own commented-out "
                         "variant)")
     p.add_argument("--precision", default="exact",
-                   choices=["exact", "high", "mixed", "fast"],
+                   choices=["exact", "high", "mixed", "fast", "hybrid",
+                            "hybrid-high"],
                    help="exact=f32 reference parity (recommended); "
                         "high=f32 with bf16x3-split MXU convs (~7e-6 conv "
                         "err, 1.3x conv speed, TPU only); "
                         "mixed=bf16 convs + f32 residual (SSIM>=0.999 at "
                         "moderate sizes, but long full-resolution solves "
                         "can NaN through the epsilon-free DoF division — "
-                        "the pipeline warns if so); fast=all-bf16")
+                        "the pipeline warns if so); fast=all-bf16; "
+                        "hybrid=mixed on the coarse non-blind levels, "
+                        "exact f32 on the final full-resolution level and "
+                        "the blind phase; hybrid-high=same schedule with "
+                        "bf16x3 convs (f32 math) on the coarse levels — "
+                        "smaller deviation, smaller speedup (quality "
+                        "numbers in docs/PERFORMANCE.md)")
     p.add_argument("--trace", action="store_true",
                    help="print a per-stage wall-clock profile at the end "
                         "(stage boundaries sync the device queue, so the "
@@ -304,6 +312,15 @@ def main(argv=None) -> int:
                         "rule — cutting the PSF estimation costs quality "
                         "(measured).  Quality-gated deviation; fires only "
                         "on genuinely plateaued solves")
+    p.add_argument("--blind-budget", type=int, default=None, metavar="N",
+                   help="cap the COARSE blind pyramid levels at N outer "
+                        "iterations (the final full-scale blind level and "
+                        "the non-blind pass keep the full budget).  The "
+                        "blind phase routinely burns iterations x levels "
+                        "without converging while the coarse estimates "
+                        "only seed the next level; measured quality/speed "
+                        "curve in docs/PERFORMANCE.md.  Off by default "
+                        "(reference parity)")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="tile the full-frame non-blind solves by rows over "
                         "the first N devices (GSPMD halo exchange over ICI)")

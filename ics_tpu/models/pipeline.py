@@ -14,6 +14,7 @@ level shapes repeat across runs, so programs compile once.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -27,6 +28,11 @@ from ics_tpu.utils.resize import resize_jax
 from ics_tpu.utils.timing import timeit
 
 __all__ = ["pad_image", "build_pyramid", "deblur_module"]
+
+# precision='hybrid'/'hybrid-high': smallest coarse-level size that runs
+# the reduced-precision schedule (smaller levels keep exact f32 — they
+# cost almost nothing and their whiteness stop is the most chaotic)
+_HYBRID_MIN_PIXELS = 2_000_000
 
 
 def pad_image(image: np.ndarray, pad, mode: str = "edge") -> np.ndarray:
@@ -101,6 +107,7 @@ def deblur_module(
     save_psf_path: str | None = None,
     precision: str = "exact",
     early_stop: float = 0.0,
+    blind_budget: int | None = None,
     use_tv: bool = False,
     tv_norm: str = "channel",
     stats_out: list | None = None,
@@ -147,6 +154,17 @@ def deblur_module(
     relative amount for 10 consecutive outers.  A documented deviation
     from the reference's stopping rule that skips the dead iterations
     coarse levels otherwise burn; quality-gated in tests/test_golden.py.
+
+    ``blind_budget``: opt-in outer-iteration cap for the COARSE blind
+    levels (the final full-scale blind level and the whole non-blind pass
+    keep the full ``iterations`` budget).  The reference's blind phase
+    routinely burns the entire budget at every pyramid scale without
+    converging (its own published 1.9 MP case runs 3x200 outers; the
+    whiteness metric is nearly flat during PSF refinement, so the stopping
+    rule never fires) — but the coarse levels only SEED the next level's
+    PSF estimate, which is resized and re-refined anyway.  A documented
+    deviation from reference parity, off by default; measured
+    quality/speed curve in docs/PERFORMANCE.md "Blind budget".
 
     ``use_tv`` / ``tv_norm``: the intended-math TV regularization
     (RLConfig.use_tv; 'mm' solver only — ignored when ``config`` is
@@ -249,6 +267,8 @@ def deblur_module(
         raise ValueError(f"unknown solver {solver!r} (use 'mm', 'pam' or 'pd')")
     if nonblind_levels not in ("all", "final"):
         raise ValueError("nonblind_levels must be 'all' or 'final'")
+    if blind_budget is not None and blind_budget < 1:
+        raise ValueError("blind_budget must be a positive iteration count")
     if mesh is not None and solver != "mm":
         raise ValueError("mesh sharding is only supported by the 'mm' solver")
 
@@ -294,14 +314,31 @@ def deblur_module(
     # with bf16x3-split MXU convs (~7e-6 conv rel err, 1.34x conv speed —
     # RLConfig.conv_precision); 'mixed' = bf16 convs + f32 incremental
     # residual on the non-blind full-frame solves (~2.3x on large frames —
-    # see RLConfig.dtype); 'fast' = all-bf16.
+    # see RLConfig.dtype); 'fast' = all-bf16; 'hybrid' = mixed on the
+    # COARSE non-blind levels only, exact float32 on the final full-
+    # resolution level and the whole blind phase.  The coarse non-blind
+    # levels burn most of the solver time but their output only seeds the
+    # next level's initialization (it is resized anyway), while the final
+    # level — the one whose iterate becomes the output — and the PSF
+    # estimation keep parity math.  'hybrid-high' = the same schedule with
+    # the coarse levels in f32 + bf16x3-split convs (~7e-6 rel err) rather
+    # than bf16 convs — a much smaller seed perturbation at a smaller
+    # speedup (TPU only; elsewhere it equals 'exact').  Quality-gated like
+    # every precision deviation: see docs/PERFORMANCE.md "Precision modes".
+    if precision not in ("exact", "high", "mixed", "fast", "hybrid",
+                         "hybrid-high"):
+        raise ValueError(
+            f"unknown precision {precision!r} (use 'exact', 'high', "
+            "'mixed', 'fast', 'hybrid' or 'hybrid-high')"
+        )
     solver_dtype = {
         "exact": "float32", "high": "float32", "mixed": "mixed",
-        "fast": "bfloat16",
+        "fast": "bfloat16", "hybrid": "float32", "hybrid-high": "float32",
     }[precision]
     solver_conv_precision = "high" if precision == "high" else "exact"
 
     deblured_image = pic
+    solver_cfg_coarse = None  # per-level override for precision='hybrid'
     if solver == "mm":
         solver_fn = richardson_lucy_MM
         solver_cfg = config or RLConfig(
@@ -310,6 +347,17 @@ def deblur_module(
             conv_precision=solver_conv_precision,
             use_tv=use_tv, tv_norm=tv_norm,
         )
+        if config is None and precision in ("hybrid", "hybrid-high"):
+            # 'hybrid': coarse levels in mixed dtype (bf16 convs;
+            # dof_guard=None auto-enables — see RLConfig); 'hybrid-high':
+            # coarse levels keep f32 math but route convs through the
+            # bf16x3-split MXU kernel (~7e-6 rel err — a far smaller
+            # perturbation of the level seeds, TPU only).
+            solver_cfg_coarse = dataclasses.replace(
+                solver_cfg,
+                **({"dtype": "mixed"} if precision == "hybrid"
+                   else {"conv_precision": "high"}),
+            )
     elif solver == "pam":
         from ics_tpu.models.rl_pam import richardson_lucy_PAM
 
@@ -400,6 +448,14 @@ def deblur_module(
                 tolerance_temp = tolerance if i == 1.0 else 0
 
                 if case == "blind":
+                    # blind_budget: cap the coarse-level PSF refinement
+                    # (its estimate is only the seed of the next level);
+                    # the final full-scale level keeps the full budget.
+                    level_iterations = (
+                        min(iterations, blind_budget)
+                        if blind_budget is not None and i != 1.0
+                        else iterations
+                    )
                     with _stage("solve (blind)"):
                         res = solver_fn(
                             temp_blurry_image[
@@ -416,7 +472,7 @@ def deblur_module(
                             pad + 1,
                             temp_bottom - temp_top - pad - 1,
                             0,
-                            iterations=iterations,
+                            iterations=level_iterations,
                             step_factor=step,
                             lambd=lambd,
                             blind=True,
@@ -475,6 +531,22 @@ def deblur_module(
                         )
                     else:
                         full_solver = solver_fn
+                    # precision='hybrid'/'hybrid-high': coarse levels
+                    # (whose output only seeds the next level's init) run
+                    # reduced precision; the final full-resolution level
+                    # keeps exact f32.  Only levels of >= ~2 MP deviate:
+                    # smaller solves are sub-second (nothing to win) and
+                    # the whiteness stop is most re-roll-chaotic at small
+                    # scales — so small-frame runs stay at full parity.
+                    level_cfg = (
+                        solver_cfg_coarse
+                        if (
+                            solver_cfg_coarse is not None
+                            and i != 1.0
+                            and temp_height * temp_width >= _HYBRID_MIN_PIXELS
+                        )
+                        else solver_cfg
+                    )
                     with _stage("solve (non-blind)"):
                         res = full_solver(
                             temp_blurry_image,
@@ -489,7 +561,7 @@ def deblur_module(
                             step_factor=step,
                             lambd=lambd,
                             blind=False,
-                            config=solver_cfg,
+                            config=level_cfg,
                             **(
                                 {"verbose": verbose} if solver == "mm" else {}
                             ),

@@ -254,6 +254,87 @@ np.save({str(out_npy)!r}, out)
     assert psnr(out, truth, 1.0) >= 35.5
 
 
+def test_deblur_hybrid_precision_quality(crops, tmp_path):
+    """precision='hybrid' (mixed on LARGE coarse non-blind levels, exact
+    f32 on the final full-resolution level, the blind phase, and every
+    level under ~2 MP) must hold the golden bars.  On this small fixture
+    every level sits below the size threshold, so hybrid must match the
+    parity pipeline — measured r4: WITHOUT the threshold the mixed coarse
+    level re-rolls the final level's chaotic whiteness stop for
+    0.85/34.5 vs parity's 0.9027/35.93 while saving nothing (sub-second
+    solves), which is exactly why small levels keep exact f32.  The
+    large-frame deviation is characterized at the 24 MP bench scale in
+    docs/PERFORMANCE.md "Precision modes".  Same pinned 1-device CPU
+    protocol as the parity test."""
+    import subprocess
+    import sys
+
+    out_npy = tmp_path / "deblur_hybrid.npy"
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.pipeline import deblur_module
+with Image.open({os.path.join(IMG, 'crop-blured.jpg')!r}) as im:
+    pic = np.asarray(im, np.uint8)
+out = deblur_module(pic, 'g', None, 5, mask=[275, 275], mask_size=255,
+                    tolerance=0.1, iterations=50, verbose=False,
+                    precision='hybrid')
+np.save({str(out_npy)!r}, out)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = np.load(out_npy).astype(np.float32) / 65535.0
+
+    truth = crops["original"]
+    assert ssim(out, truth, data_range=1.0) >= 0.89
+    assert psnr(out, truth, 1.0) >= 35.5
+
+
+def test_deblur_blind_budget_quality(crops, tmp_path):
+    """blind_budget (coarse blind levels capped, final level full budget)
+    must hold the golden bars: the coarse PSF estimates only seed the next
+    level's refinement.  Cap at half the budget here; the measured curve
+    on the bench case is in docs/PERFORMANCE.md "Blind budget"."""
+    import subprocess
+    import sys
+
+    out_npy = tmp_path / "deblur_bb.npy"
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from PIL import Image
+from ics_tpu.models.pipeline import deblur_module
+with Image.open({os.path.join(IMG, 'crop-blured.jpg')!r}) as im:
+    pic = np.asarray(im, np.uint8)
+out = deblur_module(pic, 'g', None, 5, mask=[275, 275], mask_size=255,
+                    tolerance=0.1, iterations=50, verbose=False,
+                    blind_budget=25)
+np.save({str(out_npy)!r}, out)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = np.load(out_npy).astype(np.float32) / 65535.0
+
+    truth = crops["original"]
+    assert ssim(out, truth, data_range=1.0) >= 0.89
+    assert psnr(out, truth, 1.0) >= 35.5
+
+
 def test_collaborative_tv_chroma(crops, tmp_path):
     """The collaborative L^{inf,1,1} RGB TV norm (ref README.md:113-114,
     "handcuffs between channels ... helps dramatically in chromatic noise

@@ -43,6 +43,12 @@ def test_deblur_module_validations(tmp_path):
         deblur_module(pic, "x", None, 4, verbose=False)
     with pytest.raises(ValueError, match="outside the picture"):
         deblur_module(pic, "x", None, 3, mask=[2, 2], mask_size=33, verbose=False)
+    with pytest.raises(ValueError, match="unknown precision"):
+        deblur_module(pic, "x", None, 3, mask_size=31, precision="float16",
+                      verbose=False)
+    with pytest.raises(ValueError, match="blind_budget"):
+        deblur_module(pic, "x", None, 3, mask_size=31, blind_budget=0,
+                      verbose=False)
 
 
 def test_deblur_module_end_to_end(tmp_path):
