@@ -110,6 +110,7 @@ def sharded_richardson_lucy(
     correlation: bool = False,
     config: RLConfig | None = None,
     verbose: bool = False,
+    use_stopping: bool = True,
 ):
     """Run the RL-MM solver with the image tiled by rows across ``mesh``.
 
@@ -153,6 +154,10 @@ def sharded_richardson_lucy(
             ("dof_guard", cfg.dof_guard),
             ("early_stop", cfg.early_stop),
             ("early_stop_patience", cfg.early_stop_patience),
+            # use_stopping=False runs the full fixed budget and skips the
+            # whiteness metric — what fixed-work benchmarks (bench.py
+            # --scaling) need
+            ("use_stopping", bool(use_stopping)),
             ("record", cfg.record_metrics),
         ),
     )

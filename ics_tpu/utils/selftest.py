@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-__all__ = ["certify_kernels", "bench_conv_backends"]
+__all__ = ["certify_kernels", "bench_conv_backends", "bench_scaling"]
 
 
 def _real_image(h, w):
@@ -233,3 +233,72 @@ def bench_conv_backends(
                 )
                 results[(h, w, dtype, method)] = sec * 1e3
     return results
+
+
+def bench_scaling(
+    m=511, n=767, mk=9, iterations=6, ns=(1, 2, 4, 8), reps=3, report=print,
+):
+    """Relative GSPMD scaling of the row-sharded non-blind solve
+    (``parallel.tiling.sharded_richardson_lucy``) vs device count.
+
+    Fixed-work protocol: ``use_stopping=False`` runs exactly
+    ``iterations`` outers on every mesh size, so the only variable is the
+    partitioning.  Interpretation depends on the devices:
+
+    * On N VIRTUAL CPU devices sharing one physical core (the CI mesh),
+      ideal scaling is a FLAT curve: each device's shard shrinks N x while
+      the core timeslices all N, so t_N/t_1 ~ 1.0 certifies the GSPMD
+      partition adds no serialization, duplicated work, or blocking
+      collective chains.  t_N/t_1 >> 1 would flag a partitioning bug.
+    * On N real chips the same program's wall clock should DROP ~N x
+      (each chip runs its shard concurrently; halo exchanges ride ICI).
+
+    Returns {n_devices: per_outer_seconds}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ics_tpu.parallel import make_mesh, sharded_richardson_lucy
+
+    pad = mk // 2
+    img = jnp.asarray(_real_image(m, n))
+    u = jnp.asarray(
+        np.pad(np.asarray(img), ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    )
+    psf = jnp.asarray(np.ones((mk, mk, 3), np.float32) / (mk * mk))
+    jax.block_until_ready((img, u, psf))
+
+    results = {}
+    t1 = None
+    for nd in ns:
+        if nd > jax.device_count():
+            report(f"[scaling] n={nd}: skipped (only "
+                   f"{jax.device_count()} devices)")
+            continue
+        mesh = make_mesh(nd)
+
+        def run():
+            res = sharded_richardson_lucy(
+                img, u, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+                0.0, mesh=mesh, iterations=iterations, step_factor=1e-3,
+                lambd=10000.0, blind=False, use_stopping=False,
+            )
+            jax.block_until_ready(res.u)
+
+        run()  # compile + warm
+        best = min(_timed(run) for _ in range(reps))
+        per_outer = best / iterations
+        results[nd] = per_outer
+        if t1 is None:
+            t1 = per_outer
+        report(
+            f"[scaling] n={nd}: {per_outer * 1e3:.1f} ms/outer "
+            f"(t_n/t_1 = {per_outer / t1:.2f})"
+        )
+    return results
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0

@@ -166,11 +166,22 @@ def test_batched_per_lane_stopping():
     # chaotic DoF division amplifies (docs/PERFORMANCE.md), so the value
     # tolerance is looser — the per-lane STOPPING ITERATION must still
     # match exactly in both schedules.
-    for schedule, atol_u, atol_p in (("vmap", 1e-5, 1e-6), ("map", 2e-3, 1e-4)):
+    # 'shard_map' (the batch-only-mesh default): lanes split over the mesh
+    # batch axis, each device lax.map-ing its own — per-lane traces are
+    # unbatched like 'map', so the same looser value tolerance applies and
+    # stopping iterations must again match exactly.
+    from ics_tpu.parallel.mesh import BATCH_AXIS
+
+    batch_mesh = make_mesh(4, axis_name=BATCH_AXIS)
+    for schedule, mesh, atol_u, atol_p in (
+        ("vmap", None, 1e-5, 1e-6),
+        ("map", None, 2e-3, 1e-4),
+        ("shard_map", batch_mesh, 2e-3, 1e-4),
+    ):
         u_b, psf_b, stats_b = batched_deconvolve(
             images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
             iterations=25, step_factor=1e-3, lambd=1000.0, blind=True,
-            use_stopping=True, schedule=schedule,
+            use_stopping=True, schedule=schedule, mesh=mesh,
         )
         u_b, stats_b = np.asarray(u_b), np.asarray(stats_b)
         for i in range(b):
@@ -183,6 +194,33 @@ def test_batched_per_lane_stopping():
                 np.asarray(psf_b)[i], np.asarray(singles[i].psf), atol=atol_p,
                 err_msg=f"{schedule} lane {i}",
             )
+
+
+def test_batched_shard_map_validations():
+    import pytest
+
+    from ics_tpu.parallel.mesh import BATCH_AXIS, make_mesh_2d
+
+    mk = 3
+    pad = mk // 2
+    m = 17
+    images = np.clip(RNG.random((3, m, m, 3)), 0.05, 0.95).astype(np.float32)
+    us = np.stack(
+        [np.pad(im, ((pad, pad), (pad, pad), (0, 0)), mode="edge") for im in images]
+    ).astype(np.float32)
+    psfs = np.stack([np.dstack([uniform_kernel(mk)] * 3)] * 3).astype(np.float32)
+    args = (images, us, psfs, pad + 1, m - pad - 1, pad + 1, m - pad - 1)
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        batched_deconvolve(*args, schedule="shard_map")
+    with pytest.raises(ValueError, match="whole on one device"):
+        batched_deconvolve(
+            *args, schedule="shard_map", mesh=make_mesh_2d(tile=4, batch=2)
+        )
+    with pytest.raises(ValueError, match="must divide"):
+        batched_deconvolve(
+            *args, schedule="shard_map", mesh=make_mesh(2, axis_name=BATCH_AXIS)
+        )
 
 
 def test_pipeline_mesh_matches_single_device():
@@ -247,3 +285,16 @@ def test_sharded_solver_honors_record_metrics():
     assert res.trajectory is not None
     assert len(res.trajectory["M_r"]) == res.iterations
     assert np.isfinite(res.trajectory["M_r"]).all()
+
+
+def test_bench_scaling_smoke():
+    """bench.py --scaling's engine must run on the virtual mesh and
+    produce a per-device-count curve (tiny sizes — the recorded curve in
+    docs/PERFORMANCE.md uses the real protocol)."""
+    from ics_tpu.utils.selftest import bench_scaling
+
+    res = bench_scaling(
+        m=65, n=97, iterations=1, ns=(1, 2), reps=1, report=lambda *a: None
+    )
+    assert set(res) == {1, 2}
+    assert all(v > 0 for v in res.values())
