@@ -17,6 +17,8 @@ value.  Set ``use_stopping=False`` for a fixed, perfectly balanced budget.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -73,17 +75,17 @@ def batched_deconvolve(
     * ``'map'`` — ``lax.map`` over lanes: one chip runs lanes
       sequentially anyway, so this costs no parallelism, keeps every
       fast kernel (each lane traces unbatched), and each lane's early
-      stop saves real work.  Measured 2.5x faster than 'vmap' for a
-      4-lane 6 MP mixed batch on v5e (68.7 vs 172.1 ms/outer/lane).
-      No mesh.
+      stop saves real work.  Measured 3.1x faster than 'vmap' for a
+      4-lane 6 MP mixed batch on v5e (36.9 vs 115.6 ms/outer/lane,
+      jitted).  No mesh.
     * ``'shard_map'`` — lanes distributed over the mesh's batch axis,
       each device running ITS lanes via ``lax.map`` inside a
       ``shard_map`` body: lane parallelism across devices like 'vmap',
       but every lane traces UNBATCHED, so the fast Pallas kernels and
-      real per-lane early stops apply — 'map'-grade per-lane cost at
-      mesh scale (this closes the vmap penalty: VERDICT r3 item 5).
-      Each image must live wholly on one device (batch-only sharding);
-      use 'vmap' for 2-D (batch, tile) meshes.
+      real per-lane early stops apply — measured EQUAL per-lane cost to
+      'map' (35.5 ms/outer/lane, bit-identical outputs; closes the
+      vmap mesh penalty).  Each image must live wholly on one device
+      (batch-only sharding); use 'vmap' for 2-D (batch, tile) meshes.
     * ``'auto'`` — 'map' without a mesh; under a mesh, 'shard_map'
       when only the batch axis is sharded, 'vmap' for 2-D meshes.
     """
@@ -147,45 +149,79 @@ def batched_deconvolve(
         us = put(us)
         psfs = jax.device_put(psfs, NamedSharding(mesh, P(batch_axis)))
 
-    def one(image, u, psf, w):
+    solve_items = (
+        ("top", int(top)),
+        ("bottom", int(bottom)),
+        ("left", int(left)),
+        ("right", int(right)),
+        ("tau", float(tau)),
+        ("step_factor", float(step_factor)),
+        ("lambd", float(lambd)),
+        ("iterations", int(iterations)),
+        ("blind", bool(blind)),
+        ("correlation", bool(correlation)),
+        ("use_tv", cfg.use_tv),
+        # the Pallas TV kernel has no vmap rule; the XLA stencil is
+        # also the measured winner (ops/tv.py) — force it rather than
+        # silently dropping cfg.tv_method
+        ("tv_method", "xla"),
+        ("tv_norm", cfg.tv_norm),
+        ("conv_method", cfg.conv_method),
+        ("conv_precision", cfg.conv_precision),
+        ("dtype", cfg.dtype),
+        ("dof_guard", cfg.dof_guard),
+        ("early_stop", cfg.early_stop),
+        ("early_stop_patience", cfg.early_stop_patience),
+        # under vmap the Pallas kernels have no batching rule — force
+        # the portable paths; under lax.map each lane traces unbatched
+        # and the fast kernels (auto dispatch) apply
+        ("psf_grad", "conv" if batched else cfg.psf_grad),
+        ("inner_loop", "xla" if batched else cfg.inner_loop),
+        ("use_stopping", bool(use_stopping)),
+    )
+    run = _lane_runner(
+        solve_items,
+        schedule,
+        mesh if schedule == "shard_map" else None,
+        batch_axis,
+    )
+    return run(images, us, psfs, weights)
+
+
+@functools.lru_cache(maxsize=64)
+def _lane_runner(solve_items, schedule, mesh, batch_axis):
+    """jit-compiled lane executor, cached on (solver config, schedule,
+    mesh).
+
+    ALL schedules run under an explicit ``jax.jit``: dispatching the
+    eager ``lax.map``/``vmap`` primitive measured **3-5x slower** than
+    the identical jitted program on v5e (141 vs 27.2 ms/outer/lane for a
+    4-lane 6 MP mixed batch — same math, bit-identical outputs; the
+    eager scan path pays per-call machinery the compiled executable
+    doesn't).  The lru cache plays the same role as
+    ``tiling._constrained_solve``'s: a fresh ``jax.jit`` closure per
+    ``batched_deconvolve`` call would re-trace every time (the
+    persistent compile cache would catch the XLA compile, not the
+    trace/lower cost).
+    """
+    solve_kwargs = dict(solve_items)
+
+    def one(t):
+        image, u, psf, w = t
         u_out, _u_full, psf_out, _image_out, stats, _hist = _solve(
-            image,
-            u,
-            psf,
-            w,
-            top=top,
-            bottom=bottom,
-            left=left,
-            right=right,
-            tau=tau,
-            step_factor=step_factor,
-            lambd=lambd,
-            iterations=iterations,
-            blind=blind,
-            correlation=correlation,
-            use_tv=cfg.use_tv,
-            # the Pallas TV kernel has no vmap rule; the XLA stencil is
-            # also the measured winner (ops/tv.py) — force it rather than
-            # silently dropping cfg.tv_method
-            tv_method="xla",
-            tv_norm=cfg.tv_norm,
-            conv_method=cfg.conv_method,
-            conv_precision=cfg.conv_precision,
-            dtype=cfg.dtype,
-            dof_guard=cfg.dof_guard,
-            early_stop=cfg.early_stop,
-            early_stop_patience=cfg.early_stop_patience,
-            # under vmap the Pallas kernels have no batching rule — force
-            # the portable paths; under lax.map each lane traces unbatched
-            # and the fast kernels (auto dispatch) apply
-            psf_grad="conv" if batched else cfg.psf_grad,
-            inner_loop="xla" if batched else cfg.inner_loop,
-            use_stopping=use_stopping,
+            image, u, psf, w, **solve_kwargs
         )
         return u_out, psf_out, stats
 
-    if batched:
-        return jax.vmap(one)(images, us, psfs, weights)
+    if schedule == "vmap":
+        def body(im, u, p, w):
+            return jax.vmap(lambda i_, u_, p_, w_: one((i_, u_, p_, w_)))(
+                im, u, p, w
+            )
+    else:
+        def body(im, u, p, w):
+            return jax.lax.map(one, (im, u, p, w))
+
     if schedule == "shard_map":
         # Lanes split over the mesh's batch axis; each device runs its
         # local lanes through lax.map, so every lane's trace is UNBATCHED
@@ -196,8 +232,8 @@ def batched_deconvolve(
         from jax import shard_map
 
         spec = P(batch_axis)
-        fn = shard_map(
-            lambda im, u, p, w: jax.lax.map(lambda t: one(*t), (im, u, p, w)),
+        body = shard_map(
+            body,
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
             out_specs=(spec, spec, spec),
@@ -207,5 +243,4 @@ def batched_deconvolve(
             # to verify here — every output is per-lane by construction
             check_vma=False,
         )
-        return jax.jit(fn)(images, us, psfs, weights)
-    return jax.lax.map(lambda t: one(*t), (images, us, psfs, weights))
+    return jax.jit(body)
