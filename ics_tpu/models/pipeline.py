@@ -18,6 +18,8 @@ import dataclasses
 import functools
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
@@ -33,6 +35,33 @@ __all__ = ["pad_image", "build_pyramid", "deblur_module"]
 # the reduced-precision schedule (smaller levels keep exact f32 — they
 # cost almost nothing and their whiteness stop is the most chaotic)
 _HYBRID_MIN_PIXELS = 2_000_000
+
+
+# The pipeline glue (preprocess, postprocess) runs under explicit jit:
+# the eager op-by-op dispatch pays per-op machinery and unfused
+# intermediates at full frame size (the cost class measured at 2-5x on
+# the batched solver — docs/PERFORMANCE.md "Batched solves").  The ops
+# themselves are elementwise, so fusion changes memory traffic, not
+# rounding — solver parity is untouched.
+@functools.partial(jax.jit, static_argnames=("samples",))
+def _preprocess_jit(raw, samples):
+    """uint8/uint16 frame -> padded, normalized, de-gamma'd f32 (ref
+    deconvolve.py:94-103) as ONE fused on-device program."""
+    pic = raw.astype(jnp.float32)
+    pic = jnp.pad(pic, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    return (pic / samples) ** (1 / 2.2)
+
+
+@jax.jit
+def _postprocess_jit(img):
+    """clip -> re-gamma -> 16-bit (ref deconvolve.py:346-352) + NaN flag
+    in ONE fused pass (NaN must be checked BEFORE the uint16 cast, which
+    would silently map it to an arbitrary integer)."""
+    clipped = jnp.clip(img, 0.0, 1.0) ** 2.2
+    return (
+        (clipped * (2**16 - 1)).astype(jnp.uint16),
+        jnp.any(jnp.isnan(clipped)),
+    )
 
 
 def pad_image(image: np.ndarray, pad, mode: str = "edge") -> np.ndarray:
@@ -224,12 +253,10 @@ def deblur_module(
     # NumPy pow/pad on a 20+ MB float image costs ~1 s per call on a weak
     # host, and the raw upload is 4x smaller than float32.
     with _stage("upload + preprocess"):
-        pic = jnp.asarray(np.ascontiguousarray(pic)).astype(jnp.float32)
-        pic = pad_edge(pic, ((1, 1), (1, 1)))  # extra-pad for safety (ref :94)
-
         samples = 2**bits - 1
-        pic = pic / samples
-        pic = pic ** (1 / 2.2)  # undo gamma (ref :103)
+        # raw integer upload (4x smaller than f32); pad + normalize +
+        # de-gamma happen on device as one fused program
+        pic = _preprocess_jit(jnp.asarray(np.ascontiguousarray(pic)), samples)
         _sync(pic)
 
     step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
@@ -621,20 +648,12 @@ def deblur_module(
         pass
 
     with _stage("postprocess + download"):
-        deblured_image = jnp.clip(deblured_image, 0.0, 1.0)
-        deblured_image = deblured_image ** 2.2  # redo gamma (ref :349)
-        # A diverged solve propagates NaN through clip/pow, and the uint16
-        # cast below would silently map it to an arbitrary integer — check
-        # BEFORE casting (the scalar fetch is free next to the frame
-        # download).
-        has_nan = bool(jnp.any(jnp.isnan(deblured_image)))
-        # Cast to uint16 ON DEVICE: the host tunnel moves ~10 MB/s, so the
-        # final fetch of a 24 MP frame costs 30 s as float32 but 12 s as
-        # uint16 — and uint16 is what the 16-bit TIFF save casts to anyway
-        # (ref :346-352).
-        deblured_image = np.asarray(
-            (deblured_image * (2**16 - 1)).astype(jnp.uint16)
-        )  # single download
+        # One fused pass: clip/re-gamma/NaN-flag/uint16 cast on device.
+        # uint16 halves the final fetch vs f32 over the ~10 MB/s tunnel
+        # and is what the 16-bit TIFF save casts to anyway (ref :346-352).
+        out_dev, nan_dev = _postprocess_jit(deblured_image)
+        has_nan = bool(nan_dev)  # scalar, free next to the frame download
+        deblured_image = np.asarray(out_dev)  # single download
     if has_nan:
         # the reference's equivalent diagnostic is the in-solver
         # "has NaN after DoF correction" print (ref lib/deconvolution.pyx:

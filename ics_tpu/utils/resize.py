@@ -14,6 +14,9 @@ pipelines.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 from scipy import ndimage
 
@@ -46,8 +49,22 @@ def resize(image: np.ndarray, shape, order: int = 3, mode: str = "edge") -> np.n
 
 
 def resize_jax(image, shape, method: str = "cubic"):
-    """On-device resize (jax.image.resize) for jitted pipelines."""
+    """On-device resize (jax.image.resize) for jitted pipelines.
+
+    Runs under an explicit ``jax.jit`` (cached per shape): the eager
+    composition dispatches jax.image.resize's internal gather/weighting
+    ops one by one with unfused intermediates — the same eager-dispatch
+    cost class measured at 2-5x on the batched solver
+    (docs/PERFORMANCE.md "Batched solves").  Pyramid level shapes repeat
+    across runs, so each shape compiles once.
+    """
+    return _resize_jit(image, (int(shape[0]), int(shape[1])), method)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "method"))
+def _resize_jit(image, hw, method):
     import jax.image
 
-    full_shape = (int(shape[0]), int(shape[1])) + tuple(image.shape[2:])
-    return jax.image.resize(image, full_shape, method=method)
+    return jax.image.resize(
+        image, hw + tuple(image.shape[2:]), method=method
+    )
