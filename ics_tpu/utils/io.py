@@ -30,6 +30,7 @@ __all__ = [
     "imsave",
     "imsave_pages",
     "imsave_bigtiff",
+    "imsave_tiled",
     "imread",
     "imread_sequence",
     "memmap_create",
@@ -42,6 +43,7 @@ _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
 _COMPRESSION = 259
 _PHOTOMETRIC = 262
+_IMAGE_DESCRIPTION = 270
 _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
@@ -314,6 +316,101 @@ def imsave_pages(path: str, pages, compression: str | None = None) -> None:
             f.write(_emit_page(plan, offs[i], next_off))
 
 
+def imsave_tiled(
+    path: str,
+    arr: np.ndarray,
+    tile: tuple[int, int] = (256, 256),
+    compression: str | None = None,
+) -> None:
+    """Write a tiled classic TIFF (TIFF 6.0 §15) — the layout large-format
+    pipelines use for random-access crops (the reference's vendored reader
+    handles it via TiffPage tile decoding, ref lib/tifffile.py:2230; this is
+    the writer-side counterpart; our ``imread`` tile path reads it back).
+
+    ``tile`` is (tile_length, tile_width); TIFF 6.0 requires both to be
+    multiples of 16.  Edge tiles are zero-padded to full tile size, as the
+    spec mandates.  Same dtype/shape/compression support as ``imsave``.
+    """
+    arr = np.ascontiguousarray(arr)
+    tl, tw = int(tile[0]), int(tile[1])
+    if tl % 16 or tw % 16 or tl <= 0 or tw <= 0:
+        raise ValueError(f"tile dims must be positive multiples of 16, got {tile}")
+    # reuse _plan_page for validation/photometric/dtype logic only
+    meta = _plan_page(arr, None)
+    h, w, spp = meta["h"], meta["w"], meta["spp"]
+    chunky = arr.reshape(h, w, spp)
+    tiles_down, tiles_across = -(-h // tl), -(-w // tw)
+    payloads = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            full = np.zeros((tl, tw, spp), dtype=arr.dtype)
+            block = chunky[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+            full[: block.shape[0], : block.shape[1]] = block
+            data = full.astype("<" + arr.dtype.str[1:]).tobytes()
+            payload, comp_tag = _compress(data, compression)
+            payloads.append(payload)
+    n_tiles = len(payloads)
+
+    entries = [
+        (_IMAGE_WIDTH, 4, 1, w),
+        (_IMAGE_LENGTH, 4, 1, h),
+        (_BITS_PER_SAMPLE, 3, spp, ("shorts", [meta["bps"]] * spp)),
+        (_COMPRESSION, 3, 1, comp_tag),
+        (_PHOTOMETRIC, 3, 1, meta["photometric"]),
+        (_SAMPLES_PER_PIXEL, 3, 1, spp),
+        (_PLANAR_CONFIG, 3, 1, 1),
+        (_TILE_WIDTH, 4, 1, tw),
+        (_TILE_LENGTH, 4, 1, tl),
+        (_TILE_OFFSETS, 4, n_tiles, ("offsets", None)),
+        (_TILE_BYTE_COUNTS, 4, n_tiles, ("longs", [len(p) for p in payloads])),
+        (_SAMPLE_FORMAT, 3, spp, ("shorts", [meta["sample_format"]] * spp)),
+    ]
+    if meta["photometric"] == 2 and spp == 4:
+        entries.append((_EXTRA_SAMPLES, 3, 1, 2))
+    entries.sort()
+    ifd_size = 2 + len(entries) * 12 + 4
+    extra_off = 8 + ifd_size
+    # first pass: lay out the external arrays to learn where tile data starts
+    extra = b""
+    for tag, typ, count, value in entries:
+        if isinstance(value, tuple):
+            kind, vals = value
+            per = 2 if kind == "shorts" else 4
+            if count * per > 4:
+                extra += b"\0" * (count * per)
+    data_off = extra_off + len(extra)
+    tile_offs = []
+    pos = data_off
+    for p in payloads:
+        tile_offs.append(pos)
+        pos += len(p)
+
+    extra = b""
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if isinstance(value, tuple):
+            kind, vals = value
+            if kind == "offsets":
+                vals = tile_offs
+            fmt, per = ("H", 2) if kind == "shorts" else ("I", 4)
+            packed = struct.pack(f"<{count}{fmt}", *vals)
+            if count * per <= 4:
+                payload = packed.ljust(4, b"\0")
+            else:
+                payload = struct.pack("<I", extra_off + len(extra))
+                extra += packed
+        elif typ == 3:
+            payload = struct.pack("<HH", value, 0)
+        else:
+            payload = struct.pack("<I", value)
+        ifd += struct.pack("<HHI", tag, typ, count) + payload
+    ifd += struct.pack("<I", 0)  # no next IFD
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 8) + ifd + extra)
+        for p in payloads:
+            f.write(p)
+
+
 def memmap_create(path: str, shape, dtype=np.uint16) -> np.memmap:
     """Create a new single-page uncompressed TIFF of the given shape and
     return a WRITABLE ``np.memmap`` view of its pixel data — the analog of
@@ -563,14 +660,65 @@ def _decode_tiff(raw, path: str, memmap: bool = False, pages: bool = False):
     if memmap:
         raise ValueError("memmap=True reads a single page; drop pages=True")
     out_pages = []
+    first_tags = None
     seen = set()
     while ifd_off and ifd_off not in seen:  # cycle guard on corrupt chains
         seen.add(ifd_off)
         tags, ifd_off = _parse_ifd(raw, en, ifd_off, big)
+        if first_tags is None:
+            first_tags = tags
         out_pages.append(_read_page(raw, en, big, tags, path, False))
+    if len(out_pages) == 1:
+        # ImageJ writes hyperstacks as ONE IFD + "images=N" in the
+        # ImageDescription, with the N frames contiguous after the first
+        # (the reference reads them via its is_imagej / contiguous-series
+        # path, ref lib/tifffile.py TiffPage.is_imagej handling)
+        stack = _imagej_contiguous_stack(raw, en, first_tags, out_pages[0])
+        if stack is not None:
+            return stack
     if len({(p.shape, p.dtype) for p in out_pages}) == 1:
         return np.stack(out_pages)
     return out_pages
+
+
+def _imagej_contiguous_stack(raw, en: str, tags, first_page: np.ndarray):
+    """Return the (N, ...) frame stack of an ImageJ contiguous file, or
+    None when this page isn't one (not ImageJ, images<=1, compressed, or
+    the file is too short for the advertised frame count)."""
+    desc_tag = tags.get(_IMAGE_DESCRIPTION)
+    if desc_tag is None or desc_tag[0] != 2:  # type 2 = ASCII
+        return None
+    desc = desc_tag[2].split(b"\0", 1)[0].decode("latin-1", "replace")
+    if not desc.startswith("ImageJ="):
+        return None
+    n_images = 1
+    for line in desc.split("\n"):
+        if line.startswith("images="):
+            try:
+                n_images = int(line[len("images="):].strip())
+            except ValueError:
+                return None
+    if n_images <= 1:
+        return None
+
+    def values(tag):
+        if tag not in tags:
+            return None
+        typ, n, payload = tags[tag]
+        return list(struct.unpack(en + _TYPE_FMT[typ] * n, payload))
+
+    compression = (values(_COMPRESSION) or [1])[0]
+    predictor = (values(_PREDICTOR) or [1])[0]
+    offsets = values(_STRIP_OFFSETS)
+    if compression != 1 or predictor != 1 or not offsets or _TILE_OFFSETS in tags:
+        return None
+    frame_bytes = first_page.nbytes
+    start, end = offsets[0], offsets[0] + n_images * frame_bytes
+    if end > len(raw):
+        return None  # truncated file: fall back to the single decoded page
+    flat = np.frombuffer(raw[start:end], dtype=first_page.dtype.newbyteorder(en))
+    stack = flat.reshape((n_images,) + first_page.shape)
+    return stack.astype(first_page.dtype, copy=False)
 
 
 # TIFF SampleFormat (tag 339) x BitsPerSample -> numpy dtype.  1 = unsigned

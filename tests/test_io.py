@@ -444,3 +444,89 @@ def test_bigtiff_write_roundtrip(tmp_path):
         back = io.imread(p)
         assert back.dtype == arr.dtype
         np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize(
+    "shape,dtype,comp",
+    [
+        ((70, 90, 3), np.uint8, None),
+        ((40, 33), np.uint16, None),
+        ((16, 16, 3), np.uint16, "lzw"),      # exactly one tile
+        ((50, 70, 3), np.uint8, "packbits"),  # partial edge tiles
+        ((20, 45), np.float32, None),
+    ],
+)
+def test_tiled_write_roundtrip(tmp_path, shape, dtype, comp):
+    """Tiled writer (TIFF 6.0 §15) round-trips through our tile reader."""
+    if np.dtype(dtype).kind == "f":
+        arr = RNG.random(shape).astype(dtype)
+    else:
+        arr = RNG.integers(0, np.iinfo(dtype).max, size=shape).astype(dtype)
+    path = str(tmp_path / "tiled.tif")
+    io.imsave_tiled(path, arr, tile=(16, 32), compression=comp)
+    back = io.imread(path)
+    assert back.dtype == arr.dtype
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiled_write_pil_interop(tmp_path):
+    """An independent reader (PIL/libtiff) decodes our tiled layout."""
+    from PIL import Image
+
+    arr = RNG.integers(0, 255, size=(60, 100, 3)).astype(np.uint8)
+    path = str(tmp_path / "tiled8.tif")
+    io.imsave_tiled(path, arr, tile=(32, 48))
+    with Image.open(path) as im:
+        np.testing.assert_array_equal(np.asarray(im), arr)
+
+
+def test_tiled_write_rejects_bad_tile(tmp_path):
+    arr = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError):
+        io.imsave_tiled(str(tmp_path / "x.tif"), arr, tile=(15, 16))
+
+
+def test_imagej_contiguous_stack(tmp_path):
+    """ImageJ hyperstacks: ONE IFD + 'images=N' ImageDescription with the
+    N frames contiguous in the file (the reference reads these through
+    tifffile's is_imagej path).  Build one by hand: write frame 0 as a
+    normal single-page TIFF carrying the ImageJ description, then append
+    the remaining frames' raw pixels right after frame 0's data."""
+    n, h, w = 4, 9, 13
+    stack = RNG.integers(0, 65535, size=(n, h, w)).astype(np.uint16)
+    path = str(tmp_path / "ij.tif")
+    io.imsave(path, stack[0])
+    raw = bytearray(open(path, "rb").read())
+
+    desc = f"ImageJ=1.53t\nimages={n}\nslices={n}\nloop=false\0".encode()
+    # splice an ImageDescription tag into the IFD: rebuild the file —
+    # header(8) + IFD + desc + pixel data for ALL frames
+    tags, _ = io._parse_ifd(bytes(raw), "<", 8, False)
+    assert io._IMAGE_DESCRIPTION not in tags
+    n_entries = len(tags) + 1
+    ifd_size = 2 + n_entries * 12 + 4
+    desc_off = 8 + ifd_size
+    data_off = desc_off + len(desc)
+    entries = []
+    for tag in sorted(tags):
+        typ, cnt, payload = tags[tag]
+        if tag == io._STRIP_OFFSETS:
+            payload = struct.pack("<I", data_off)
+        elif len(payload) < 4:
+            payload = payload.ljust(4, b"\0")
+        entries.append((tag, typ, cnt, payload[:4]))
+    entries.append((io._IMAGE_DESCRIPTION, 2, len(desc), struct.pack("<I", desc_off)))
+    entries.sort()
+    out = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n_entries)
+    for tag, typ, cnt, payload in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + payload
+    out += struct.pack("<I", 0) + desc
+    out += stack.astype("<u2").tobytes()
+    open(path, "wb").write(out)
+
+    got = io.imread(path, pages=True)
+    assert got.shape == (n, h, w)
+    np.testing.assert_array_equal(got, stack)
+    # plain imread still returns the first page (with the multi-page
+    # warning suppressed since there is only one IFD)
+    np.testing.assert_array_equal(io.imread(path), stack[0])
