@@ -238,17 +238,152 @@ def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
     return kernel
 
 
+def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
+    """Statically-unrolled sibling of ``_make_kernel``: every tap loop is a
+    Python loop (static slices, no rolled copies) and the PSF scalar
+    machinery is unrolled too.  Same op ORDER as the fori version — the
+    rolled window ``rolled[0:m]`` at step t1 IS ``u[t1:t1+m]``, and the
+    scalar accumulations run in the same sequence — so results match the
+    fori kernel to lowering-level rounding (~1e-7 class, inside the blind
+    kernel's certified envelope).  Trades program size (~mk² unrolled
+    statements per conv) for the fori overheads: no per-tap-row roll copy
+    of the full window, no sequential scalar-core fori for the PSF
+    copy/update/tie/normalize chain.  Only instantiated for mk ≤ 13 — see
+    the dispatch in ``_inner_loop``."""
+    pad = (u_m - m) // 2
+    inv_un = 1.0 / (u_m * u_n)
+    C = 3
+    f32 = jnp.float32
+
+    def kernel(u_ref, image_ref, psf_ref, sf_ref, lam_ref, u_out, psf_out,
+               err_out, ut_ref, epad_ref, gradk_ref):
+        step_factor = sf_ref[0, 0]
+        lambd = lam_ref[0, 0]
+        ut_ref[...] = u_ref[...]
+        for c in range(C):
+            for a in range(mk):
+                for b in range(mk):
+                    psf_out[c, a, b] = psf_ref[c, a, b]
+
+        def conv_valid_residual(c):
+            u_c = u_ref[c]
+            err = -image_ref[c]
+            for t1 in range(mk):
+                win = u_c[t1 : t1 + m]
+                for t2 in range(mk):
+                    err = err + win[:, t2 : t2 + n] * psf_out[
+                        c, mk - 1 - t1, mk - 1 - t2
+                    ]
+            return err
+
+        def minimize_channel(c):
+            error_c = conv_valid_residual(c)
+            err_out[c] = error_c
+
+            epad_ref[c] = jnp.zeros((u_m + mk - 1, u_n + mk - 1), f32)
+            epad_ref[c, mk - 1 : mk - 1 + m, mk - 1 : mk - 1 + n] = error_c
+            epad_c = epad_ref[c]
+            gradu = jnp.zeros((u_m, u_n), f32)
+            for t1 in range(mk):
+                win = epad_c[t1 : t1 + u_m]
+                for t2 in range(mk):
+                    gradu = gradu + win[:, t2 : t2 + u_n] * psf_out[c, t1, t2]
+
+            image_c = image_ref[c]
+            gcrop = gradu[pad : pad + m, pad : pad + n]
+            dof = ((gcrop - image_c) / (gcrop + image_c)) ** 2
+            if not blind:
+                dof = dof / lambd
+
+            u_c = u_ref[c]
+            greg = lambd * gradu + (u_c - ut_ref[c]) * 0.5
+            dt = step_factor * (jnp.max(u_c) + inv_un) / (
+                jnp.max(jnp.abs(greg)) + 1e-15
+            )
+            u_c = u_c - dt * greg
+            blended = (
+                (1.0 - dof) * u_c[pad : pad + m, pad : pad + n] + dof * image_c
+            )
+            u_ref[c] = u_c
+            u_ref[c, pad : pad + m, pad : pad + n] = blended
+
+        def refine_psf():
+            for c in range(C):
+                err_out[c] = conv_valid_residual(c)
+
+            gk_max = f32(0.0)
+            for c in range(C):
+                u_c = u_ref[c]
+                err_c = err_out[c]
+                for t1 in range(mk):
+                    win = u_c[t1 : t1 + m]
+                    for t2 in range(mk):
+                        g = jnp.sum(win[:, t2 : t2 + n] * err_c)
+                        gradk_ref[c, mk - 1 - t1, mk - 1 - t2] = g
+                        gk_max = jnp.maximum(gk_max, jnp.abs(g))
+
+            k_max = f32(-3.4e38)
+            for c in range(C):
+                for a in range(mk):
+                    for b in range(mk):
+                        k_max = jnp.maximum(k_max, psf_out[c, a, b])
+            dtpsf = (step_factor / mk) * (k_max + inv_un / C) / (gk_max + 1e-15)
+
+            for c in range(C):
+                for a in range(mk):
+                    for b in range(mk):
+                        psf_out[c, a, b] = (
+                            psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b]
+                        )
+
+            if correlation:
+                for a in range(mk):
+                    for b in range(mk):
+                        mean = (
+                            psf_out[0, a, b]
+                            + psf_out[1, a, b]
+                            + psf_out[2, a, b]
+                        ) / 3.0
+                        for c in range(C):
+                            psf_out[c, a, b] = mean
+
+            for c in range(C):
+                total = f32(0.0)
+                for a in range(mk):
+                    for b in range(mk):
+                        v = jnp.maximum(psf_out[c, a, b], 0.0)
+                        psf_out[c, a, b] = v
+                        total = total + v
+                for a in range(mk):
+                    for b in range(mk):
+                        psf_out[c, a, b] = psf_out[c, a, b] / total
+
+        def inner_iteration(_, carry):
+            for c in range(C):
+                minimize_channel(c)
+            if blind:
+                refine_psf()
+            return carry
+
+        lax.fori_loop(0, _INNER_ITER, inner_iteration, 0)
+        u_out[...] = u_ref[...]
+
+    return kernel
+
+
 @functools.partial(
-    jax.jit, static_argnames=("blind", "correlation", "interpret")
+    jax.jit, static_argnames=("blind", "correlation", "interpret", "unroll")
 )
-def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation, interpret):
+def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation,
+                interpret, unroll=False):
     """One outer iteration's inner loop.  Planar (3, ...) arrays in/out;
     step_factor/lambd are traced scalars (SMEM inputs — no recompile per
     value)."""
     _, u_m, u_n = u.shape
     _, m, n = image.shape
     mk = psf.shape[1]
-    kernel = _make_kernel(m, n, u_m, u_n, mk, blind=blind, correlation=correlation)
+    factory = _make_kernel_unrolled if (unroll and mk <= 13) else _make_kernel
+    kernel = factory(m, n, u_m, u_n, mk, blind=blind, correlation=correlation)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     sf = jnp.asarray(step_factor, jnp.float32).reshape(1, 1)
@@ -274,15 +409,22 @@ def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation, interp
 
 
 def inner_loop_pallas(
-    u, image, psf, *, step_factor, lambd, blind, correlation, interpret=None
+    u, image, psf, *, step_factor, lambd, blind, correlation, interpret=None,
+    unroll=None,
 ):
     """(H, W, C)-layout wrapper: runs the 5-step inner loop in one kernel.
 
     Returns (u', psf', error) matching the XLA inner `lax.scan` of
-    ics_tpu.models.rl_mm exactly (float32).
+    ics_tpu.models.rl_mm exactly (float32).  ``unroll`` selects the
+    statically-unrolled kernel body (same op order, no fori/roll
+    overheads; default via ICS_TPU_SOLVER_UNROLL until certified).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if unroll is None:
+        import os
+
+        unroll = os.environ.get("ICS_TPU_SOLVER_UNROLL", "0") == "1"
     u_pl = jnp.moveaxis(u, -1, 0)
     img_pl = jnp.moveaxis(image, -1, 0)
     psf_pl = jnp.moveaxis(psf, -1, 0)
@@ -295,6 +437,7 @@ def inner_loop_pallas(
         blind=bool(blind),
         correlation=bool(correlation),
         interpret=bool(interpret),
+        unroll=bool(unroll),
     )
     return (
         jnp.moveaxis(u2, 0, -1),

@@ -227,3 +227,28 @@ def test_conv_mxu_split_hi_lo_exact():
     recon = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
     err = np.abs(recon - np.asarray(x, np.float64)).max()
     assert err < 2.0 ** -15, err
+
+
+@pytest.mark.parametrize("blind,corr", [(False, False), (True, False), (True, True)])
+def test_pallas_inner_loop_unrolled_matches_fori(blind, corr):
+    """The statically-unrolled kernel body (ICS_TPU_SOLVER_UNROLL) keeps
+    the fori kernel's op order — results agree to lowering-level rounding
+    (the blind kernel's certified envelope; judge parity on benign inputs,
+    the DoF blend is chaotic on adversarial ones)."""
+    from ics_tpu.ops.pallas_solver import inner_loop_pallas
+    from ics_tpu.ops.windows import uniform_kernel
+
+    mk = 7
+    pad = mk // 2
+    m = 41
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(step_factor=1e-3, lambd=1000.0, blind=blind, correlation=corr,
+              interpret=True)
+    a = inner_loop_pallas(jnp.asarray(u), jnp.asarray(image), jnp.asarray(psf),
+                          unroll=False, **kw)
+    b = inner_loop_pallas(jnp.asarray(u), jnp.asarray(image), jnp.asarray(psf),
+                          unroll=True, **kw)
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b[1]), np.asarray(a[1]), atol=1e-7)
