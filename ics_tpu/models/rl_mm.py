@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -123,8 +124,11 @@ class RLConfig:
     # one VMEM-resident kernel (ops/pallas_solver.py; fori_loop + rolling-
     # window structure, compiles in seconds, exact vs XLA on real images,
     # ~16% faster per outer iteration at mask sizes on v5e), 'xla' =
-    # lax.scan of XLA ops (the general path).  'auto' = pallas on TPU when
-    # the window fits VMEM and dtype is float32, else xla.
+    # lax.scan of XLA ops (the general path), 'pallas_unrolled' = the
+    # statically-unrolled kernel body (same op order, no fori/roll
+    # overheads; certified by bench.py --selftest).  'auto' = pallas on TPU
+    # when the window fits VMEM and dtype is float32, else xla;
+    # ICS_TPU_SOLVER_UNROLL=1 upgrades auto/pallas to the unrolled body.
     inner_loop: str = "auto"
     # Record per-outer-iteration metrics (M_r, Hu, varu) on-device and
     # return them in RLResult.trajectory — the structured replacement for
@@ -323,7 +327,9 @@ def _solve(
         )
     else:
         inner_loop_method = inner_loop
-    if inner_loop_method == "pallas" and (use_tv or not fits_vmem(u_m, u_n)):
+    if inner_loop_method in ("pallas", "pallas_unrolled") and (
+        use_tv or not fits_vmem(u_m, u_n)
+    ):
         inner_loop_method = "xla"
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -341,7 +347,7 @@ def _solve(
     # reduced-precision modes, where exact-zero (gradu + image) actually
     # occurs; float32 stays strict reference parity.
     guard = dof_guard if dof_guard is not None else (mixed or compute_dtype != f32)
-    if guard and inner_loop_method == "pallas":
+    if guard and inner_loop_method in ("pallas", "pallas_unrolled"):
         # the VMEM inner-loop kernel hardcodes the parity (unguarded) DoF
         inner_loop_method = "xla"
     if compute_dtype != f32 or mixed:
@@ -484,13 +490,14 @@ def _solve(
         (u, image, psf, psf_rot, error, m_r, m_r_prev, m_r_best, since_best,
          it, stop, hist) = state
 
-        if inner_loop_method == "pallas":
+        if inner_loop_method in ("pallas", "pallas_unrolled"):
             # the whole inner loop as one VMEM-resident kernel (parity mode;
             # image is a no-op carry there)
             u, psf, error = inner_loop_pallas(
                 u, image, psf,
                 step_factor=step_factor, lambd=lambd,
                 blind=blind, correlation=correlation,
+                unroll=(inner_loop_method == "pallas_unrolled"),
             )
         else:
             ut = u
@@ -664,6 +671,15 @@ def richardson_lucy_MM(
     cfg = config or RLConfig(
         p=p, norm=norm, order=order, priority=priority, refocus=refocus
     )
+    inner_loop = cfg.inner_loop
+    # The unroll A/B knob must be resolved HERE, outside the jit: _solve's
+    # cache key includes inner_loop but not the environment, so an env read
+    # at trace time would silently reuse whichever variant compiled first.
+    if inner_loop in ("auto", "pallas") and os.environ.get(
+        "ICS_TPU_SOLVER_UNROLL", "0"
+    ) == "1":
+        if inner_loop == "pallas" or jax.default_backend() == "tpu":
+            inner_loop = "pallas_unrolled"
     image = jnp.asarray(image, jnp.float32)
     u = jnp.asarray(u, jnp.float32)
     psf = jnp.asarray(psf, jnp.float32)
@@ -690,7 +706,7 @@ def richardson_lucy_MM(
         conv_method=cfg.conv_method,
         conv_precision=cfg.conv_precision,
         psf_grad=cfg.psf_grad,
-        inner_loop=cfg.inner_loop,
+        inner_loop=inner_loop,
         dtype=cfg.dtype,
         dof_guard=cfg.dof_guard,
         early_stop=cfg.early_stop,

@@ -417,14 +417,13 @@ def inner_loop_pallas(
     Returns (u', psf', error) matching the XLA inner `lax.scan` of
     ics_tpu.models.rl_mm exactly (float32).  ``unroll`` selects the
     statically-unrolled kernel body (same op order, no fori/roll
-    overheads; default via ICS_TPU_SOLVER_UNROLL until certified).
+    overheads); callers under jit must pass it explicitly — rl_mm resolves
+    the ICS_TPU_SOLVER_UNROLL env knob OUTSIDE its jit for cache safety.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if unroll is None:
-        import os
-
-        unroll = os.environ.get("ICS_TPU_SOLVER_UNROLL", "0") == "1"
+        unroll = False
     u_pl = jnp.moveaxis(u, -1, 0)
     img_pl = jnp.moveaxis(image, -1, 0)
     psf_pl = jnp.moveaxis(psf, -1, 0)

@@ -165,6 +165,13 @@ def certify_kernels(report=print) -> bool:
     check("solver inner loop (u)", lambda: run("pallas").u, res_x.u, 1e-5)
     check("solver inner loop (psf)", lambda: run("pallas").psf, res_x.psf, 1e-4)
 
+    # 7. the statically-unrolled kernel body
+    # (pallas_solver._make_kernel_unrolled) against the same XLA reference
+    check("solver inner loop unrolled (u)",
+          lambda: run("pallas_unrolled").u, res_x.u, 1e-5)
+    check("solver inner loop unrolled (psf)",
+          lambda: run("pallas_unrolled").psf, res_x.psf, 1e-4)
+
     report(
         f"[selftest] backend={jax.default_backend()} "
         f"{sum(p for _, _, p in checks)}/{len(checks)} passed"

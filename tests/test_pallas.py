@@ -252,3 +252,27 @@ def test_pallas_inner_loop_unrolled_matches_fori(blind, corr):
                           unroll=True, **kw)
     np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b[1]), np.asarray(a[1]), atol=1e-7)
+
+
+def test_inner_loop_pallas_unrolled_config_dispatch():
+    """RLConfig(inner_loop='pallas_unrolled') reaches the unrolled kernel
+    (interpret mode on CPU) and matches the XLA path at the kernel
+    envelope; guards the _solve plumbing, not the kernel itself."""
+    from ics_tpu import richardson_lucy_MM
+    from ics_tpu.models.rl_mm import RLConfig
+    from ics_tpu.ops.windows import uniform_kernel
+
+    mk = 5
+    pad = mk // 2
+    m = 31
+    image = np.clip(RNG.random((m, m, 3)), 0.2, 0.8).astype(np.float32)
+    u = np.pad(image, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([uniform_kernel(mk)] * 3).astype(np.float32)
+    kw = dict(tau=0.0, iterations=1, step_factor=1e-3, lambd=1000.0, blind=True)
+    a = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1,
+                           m - pad - 1, config=RLConfig(inner_loop="xla"), **kw)
+    b = richardson_lucy_MM(image, u, psf, pad + 1, m - pad - 1, pad + 1,
+                           m - pad - 1,
+                           config=RLConfig(inner_loop="pallas_unrolled"), **kw)
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-6)
