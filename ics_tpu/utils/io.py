@@ -148,9 +148,8 @@ def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
     raise ValueError(f"unsupported compression {compression!r}")
 
 
-def _plan_page(arr: np.ndarray, compression):
-    """Validate one page and precompute everything its IFD needs."""
-    arr = np.ascontiguousarray(arr)
+def _page_meta(arr: np.ndarray) -> dict:
+    """Validate dtype/shape of one page; dimensions + TIFF field values."""
     if arr.dtype not in (
         np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
     ):
@@ -164,6 +163,19 @@ def _plan_page(arr: np.ndarray, compression):
         photometric = 2 if spp >= 3 else 1
     else:
         raise ValueError(f"unsupported shape {arr.shape}")
+    return {
+        "h": h, "w": w, "spp": spp, "photometric": photometric,
+        "bps": arr.dtype.itemsize * 8, "sample_format": sample_format,
+    }
+
+
+def _plan_page(arr: np.ndarray, compression):
+    """Validate one page and precompute everything its IFD needs."""
+    arr = np.ascontiguousarray(arr)
+    meta = _page_meta(arr)
+    h, w, spp = meta["h"], meta["w"], meta["spp"]
+    photometric = meta["photometric"]
+    sample_format = meta["sample_format"]
     data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
     data, comp_tag = _compress(data, compression)
     plan = {
@@ -335,8 +347,7 @@ def imsave_tiled(
     tl, tw = int(tile[0]), int(tile[1])
     if tl % 16 or tw % 16 or tl <= 0 or tw <= 0:
         raise ValueError(f"tile dims must be positive multiples of 16, got {tile}")
-    # reuse _plan_page for validation/photometric/dtype logic only
-    meta = _plan_page(arr, None)
+    meta = _page_meta(arr)
     h, w, spp = meta["h"], meta["w"], meta["spp"]
     chunky = arr.reshape(h, w, spp)
     tiles_down, tiles_across = -(-h // tl), -(-w // tw)
