@@ -307,7 +307,15 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
             u_ref[c] = u_c
             u_ref[c, pad : pad + m, pad : pad + n] = blended
 
-        def refine_psf():
+        def refine_psf(k_max):
+            """One PSF refinement; ``k_max`` is max over the (normalized)
+            taps, carried from the previous iteration's divide pass —
+            exact: round-to-nearest is monotone, so the max of rounded
+            quotients equals the rounded quotient of the max, and max
+            itself is order-insensitive.  The gradient step, clamp and
+            normalization sum run as ONE fused tap pass (identical values
+            and accumulation order as separate passes), cutting the
+            sequential scalar-core chain from 5 to 3 tap sweeps."""
             for c in range(C):
                 err_out[c] = conv_valid_residual(c)
 
@@ -322,21 +330,17 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
                         gradk_ref[c, mk - 1 - t1, mk - 1 - t2] = g
                         gk_max = jnp.maximum(gk_max, jnp.abs(g))
 
-            k_max = f32(-3.4e38)
-            for c in range(C):
-                for a in range(mk):
-                    for b in range(mk):
-                        k_max = jnp.maximum(k_max, psf_out[c, a, b])
             dtpsf = (step_factor / mk) * (k_max + inv_un / C) / (gk_max + 1e-15)
 
-            for c in range(C):
-                for a in range(mk):
-                    for b in range(mk):
-                        psf_out[c, a, b] = (
-                            psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b]
-                        )
-
             if correlation:
+                # channel tie reads all three stepped taps, so the step
+                # stays its own pass here
+                for c in range(C):
+                    for a in range(mk):
+                        for b in range(mk):
+                            psf_out[c, a, b] = (
+                                psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b]
+                            )
                 for a in range(mk):
                     for b in range(mk):
                         mean = (
@@ -347,25 +351,42 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
                         for c in range(C):
                             psf_out[c, a, b] = mean
 
+            k_next = f32(-3.4e38)
             for c in range(C):
                 total = f32(0.0)
                 for a in range(mk):
                     for b in range(mk):
-                        v = jnp.maximum(psf_out[c, a, b], 0.0)
+                        v = psf_out[c, a, b]
+                        if not correlation:
+                            v = v - dtpsf * gradk_ref[c, a, b]
+                        v = jnp.maximum(v, 0.0)
                         psf_out[c, a, b] = v
                         total = total + v
                 for a in range(mk):
                     for b in range(mk):
-                        psf_out[c, a, b] = psf_out[c, a, b] / total
+                        q = psf_out[c, a, b] / total
+                        psf_out[c, a, b] = q
+                        k_next = jnp.maximum(k_next, q)
+            return k_next
 
-        def inner_iteration(_, carry):
+        def inner_iteration(_, k_max):
             for c in range(C):
                 minimize_channel(c)
             if blind:
-                refine_psf()
-            return carry
+                k_max = refine_psf(k_max)
+            return k_max
 
-        lax.fori_loop(0, _INNER_ITER, inner_iteration, 0)
+        if blind:
+            # iteration 0's k_max: fresh sweep over the entry PSF (what the
+            # per-iteration pass the fori kernel runs would see)
+            k0 = f32(-3.4e38)
+            for c in range(C):
+                for a in range(mk):
+                    for b in range(mk):
+                        k0 = jnp.maximum(k0, psf_out[c, a, b])
+        else:
+            k0 = f32(0.0)
+        lax.fori_loop(0, _INNER_ITER, inner_iteration, k0)
         u_out[...] = u_ref[...]
 
     return kernel
