@@ -183,3 +183,35 @@ def test_nonblind_levels_final_skips_coarse_scales():
     with pytest.raises(ValueError):
         deblur_module(pic, "c", None, 5, mask_size=25, iterations=1,
                       verbose=False, nonblind_levels="some")
+
+
+def test_preprocess_postprocess_jit_semantics():
+    """The jitted glue matches the eager math: preprocess = pad+normalize+
+    de-gamma of the raw integer frame; postprocess = clip+re-gamma+uint16
+    with the NaN flag computed BEFORE the cast (a NaN would otherwise be
+    silently mapped to an arbitrary integer)."""
+    import jax.numpy as jnp
+
+    from ics_tpu.models.pipeline import _postprocess_jit, _preprocess_jit
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, size=(6, 7, 3)).astype(np.uint8)
+    got = np.asarray(_preprocess_jit(jnp.asarray(raw), 255))
+    want = np.pad(raw.astype(np.float32), ((1, 1), (1, 1), (0, 0)),
+                  mode="edge")
+    want = (want / 255.0) ** (1 / 2.2)
+    np.testing.assert_allclose(got, want, atol=2e-7)
+    assert got.shape == (8, 9, 3)
+
+    img = rng.random((5, 5, 3)).astype(np.float32) * 1.4 - 0.2  # out of range
+    out, flag = _postprocess_jit(jnp.asarray(img))
+    assert out.dtype == jnp.uint16 and not bool(flag)
+    want16 = (np.clip(img, 0, 1) ** 2.2 * 65535).astype(np.uint16)
+    np.testing.assert_allclose(np.asarray(out).astype(np.int64),
+                               want16.astype(np.int64), atol=1)
+
+    img_nan = img.copy()
+    img_nan[2, 3, 1] = np.nan
+    out2, flag2 = _postprocess_jit(jnp.asarray(img_nan))
+    assert bool(flag2)  # flagged even though the uint16 cast hides it
+    assert out2.dtype == jnp.uint16
