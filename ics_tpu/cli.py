@@ -63,6 +63,7 @@ def _cmd_deblur(args) -> int:
         blind_budget=args.blind_budget,
         use_tv=args.use_tv,
         tv_norm=args.tv_norm,
+        inner_loop=args.inner_loop,
         trace=args.trace,
         nonblind_levels=args.nonblind_levels,
         mesh=mesh,
@@ -304,6 +305,13 @@ def main(argv=None) -> int:
                         "collaborative L^{inf,1,1} RGB norm + Cauchy prior "
                         "(ref README contribution; best for chromatic "
                         "noise), 'channel' = decoupled per-channel")
+    p.add_argument("--inner-loop", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_unrolled"],
+                   help="solver inner-loop execution ('mm' solver): "
+                        "'pallas'/'pallas_unrolled' = the VMEM-resident "
+                        "kernel (fori vs statically-unrolled body), 'xla' "
+                        "= the general lax.scan path, 'auto' = pallas on "
+                        "TPU for VMEM-fitting f32 windows")
     p.add_argument("--early-stop", type=float, default=0.0, metavar="R",
                    help="stop a NON-BLIND pyramid level once the whiteness "
                         "metric stops improving by cumulative relative R "

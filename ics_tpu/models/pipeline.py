@@ -139,6 +139,7 @@ def deblur_module(
     blind_budget: int | None = None,
     use_tv: bool = False,
     tv_norm: str = "channel",
+    inner_loop: str = "auto",
     stats_out: list | None = None,
     nonblind_levels: str = "all",
     mesh=None,
@@ -372,7 +373,7 @@ def deblur_module(
             p=p, norm=norm, order=order, priority=priority, refocus=refocus,
             dtype=solver_dtype, early_stop=early_stop,
             conv_precision=solver_conv_precision,
-            use_tv=use_tv, tv_norm=tv_norm,
+            use_tv=use_tv, tv_norm=tv_norm, inner_loop=inner_loop,
         )
         if config is None and precision in ("hybrid", "hybrid-high"):
             # 'hybrid': coarse levels in mixed dtype (bf16 convs;
