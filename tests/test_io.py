@@ -454,6 +454,7 @@ def test_bigtiff_write_roundtrip(tmp_path):
         ((16, 16, 3), np.uint16, "lzw"),      # exactly one tile
         ((50, 70, 3), np.uint8, "packbits"),  # partial edge tiles
         ((20, 45), np.float32, None),
+        ((10, 12, 3), np.uint8, None),  # tile larger than the image
     ],
 )
 def test_tiled_write_roundtrip(tmp_path, shape, dtype, comp):
