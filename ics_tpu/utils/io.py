@@ -169,7 +169,7 @@ def _page_meta(arr: np.ndarray) -> dict:
     }
 
 
-def _plan_page(arr: np.ndarray, compression):
+def _plan_page(arr: np.ndarray, compression, description: str | None = None):
     """Validate one page and precompute everything its IFD needs."""
     arr = np.ascontiguousarray(arr)
     meta = _page_meta(arr)
@@ -178,12 +178,20 @@ def _plan_page(arr: np.ndarray, compression):
     sample_format = meta["sample_format"]
     data = arr.astype("<" + arr.dtype.str[1:]).tobytes()
     data, comp_tag = _compress(data, compression)
+    desc = None
+    if description is not None:
+        desc = description.encode("utf-8")
+        if not desc.endswith(b"\0"):
+            desc += b"\0"  # TIFF ASCII values are NUL-terminated
     plan = {
         "h": h, "w": w, "spp": spp, "photometric": photometric,
         "bps": arr.dtype.itemsize * 8, "sample_format": sample_format,
-        "data": data, "comp_tag": comp_tag,
-        "n_entries": 11 + (1 if (photometric == 2 and spp == 4) else 0),
-        "extra_len": (2 * spp * 2) if spp * 2 > 4 else 0,
+        "data": data, "comp_tag": comp_tag, "desc": desc,
+        "n_entries": 11
+        + (1 if (photometric == 2 and spp == 4) else 0)
+        + (1 if desc is not None else 0),
+        "extra_len": ((2 * spp * 2) if spp * 2 > 4 else 0)
+        + (len(desc) if desc is not None and len(desc) > 4 else 0),
     }
     plan["ifd_size"] = 2 + plan["n_entries"] * 12 + 4
     plan["seg_len"] = plan["ifd_size"] + plan["extra_len"] + len(data)
@@ -213,7 +221,10 @@ def _emit_page(plan, seg_off: int, next_ifd_off: int) -> bytes:
         # TIFF 6.0 requires ExtraSamples for channels beyond RGB;
         # 2 = unassociated alpha (what PIL/libtiff expect for RGBA)
         entries.append((_EXTRA_SAMPLES, 3, 1, 2))
-        entries.sort()  # IFD entries must be in ascending tag order
+    desc = plan.get("desc")
+    if desc is not None:
+        entries.append((_IMAGE_DESCRIPTION, 2, len(desc), None))
+    entries.sort()  # IFD entries must be in ascending tag order
     # extra arrays (bits-per-sample / sample-format lists) go after the IFD
     extra_off = seg_off + plan["ifd_size"]
     extra = b""
@@ -233,6 +244,12 @@ def _emit_page(plan, seg_off: int, next_ifd_off: int) -> bytes:
                 extra += struct.pack(
                     f"<{spp}H", *([plan["sample_format"]] * spp)
                 )
+        elif tag == _IMAGE_DESCRIPTION:
+            if len(desc) <= 4:
+                value = desc  # inline ASCII bytes
+            else:
+                value = extra_off + len(extra)
+                extra += desc
         resolved.append((tag, typ, count, value))
     data_off = extra_off + len(extra)
     resolved = [
@@ -242,7 +259,9 @@ def _emit_page(plan, seg_off: int, next_ifd_off: int) -> bytes:
 
     ifd = struct.pack("<H", len(resolved))
     for tag, typ, count, value in resolved:
-        if typ == 3 and count == 1:
+        if isinstance(value, bytes):
+            payload = value.ljust(4, b"\0")
+        elif typ == 3 and count == 1:
             payload = struct.pack("<HH", value, 0)
         else:
             payload = struct.pack("<I", value)
@@ -251,15 +270,21 @@ def _emit_page(plan, seg_off: int, next_ifd_off: int) -> bytes:
     return ifd + extra + data
 
 
-def imsave(path: str, arr: np.ndarray, compression: str | None = None) -> None:
+def imsave(
+    path: str,
+    arr: np.ndarray,
+    compression: str | None = None,
+    description: str | None = None,
+) -> None:
     """Write a baseline little-endian TIFF (chunky, single strip).
 
     Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
     pages get SampleFormat 3, which our reader and libtiff both honor);
     ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
-    built, pure-Python fallbacks otherwise).
+    built, pure-Python fallbacks otherwise).  ``description`` writes an
+    ImageDescription tag (how ImageJ / OME metadata travel in TIFFs).
     """
-    plan = _plan_page(arr, compression)
+    plan = _plan_page(arr, compression, description)
     header = struct.pack("<2sHI", b"II", 42, 8)
     with open(path, "wb") as f:
         f.write(header + _emit_page(plan, 8, 0))
@@ -308,13 +333,22 @@ def imsave_bigtiff(path: str, arr: np.ndarray, compression: str | None = None) -
         f.write(header + body + data)
 
 
-def imsave_pages(path: str, pages, compression: str | None = None) -> None:
+def imsave_pages(
+    path: str,
+    pages,
+    compression: str | None = None,
+    description: str | None = None,
+) -> None:
     """Write a multi-page TIFF: ``pages`` is an (N, ...) stack or a list of
     per-page arrays (shapes/dtypes may differ page to page).  The written
     IFD chain round-trips through ``imread(pages=True)`` and libtiff —
     the writer-side analog of the reference's ``TiffWriter`` page loop
-    (ref lib/tifffile.py:581)."""
-    plans = [_plan_page(np.asarray(p), compression) for p in pages]
+    (ref lib/tifffile.py:581).  ``description`` goes on the FIRST page
+    (where ImageJ / OME-XML stack metadata live by convention)."""
+    plans = [
+        _plan_page(np.asarray(p), compression, description if i == 0 else None)
+        for i, p in enumerate(pages)
+    ]
     if not plans:
         raise ValueError("imsave_pages needs at least one page")
     header = struct.pack("<2sHI", b"II", 42, 8)
@@ -688,8 +722,58 @@ def _decode_tiff(raw, path: str, memmap: bool = False, pages: bool = False):
         if stack is not None:
             return stack
     if len({(p.shape, p.dtype) for p in out_pages}) == 1:
-        return np.stack(out_pages)
+        stack = np.stack(out_pages)
+        # OME-TIFF: the first page's ImageDescription is OME-XML whose
+        # Pixels element orders the plane chain (the reference's
+        # tifffile reads these as its ome series) — normalize to
+        # (T, Z, C, Y, X[, S])
+        shaped = _ome_reshape(first_tags, stack)
+        return stack if shaped is None else shaped
     return out_pages
+
+
+def _ome_reshape(tags, stack: np.ndarray):
+    """Reshape an (N, ...) page stack to (T, Z, C, Y, X[, S]) per the
+    OME-XML Pixels element in the first page's ImageDescription; None when
+    this isn't an OME-TIFF or the plane count doesn't match."""
+    desc_tag = tags.get(_IMAGE_DESCRIPTION)
+    if desc_tag is None or desc_tag[0] != 2:
+        return None
+    desc = desc_tag[2].split(b"\0", 1)[0].decode("utf-8", "replace").strip()
+    if not desc.startswith("<?xml") and "<OME" not in desc[:200]:
+        return None
+    try:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(desc)
+    except ET.ParseError:
+        return None
+    pixels = next(
+        (el for el in root.iter() if el.tag.rsplit("}", 1)[-1] == "Pixels"),
+        None,
+    )
+    if pixels is None:
+        return None
+    try:
+        sizes = {d: int(pixels.get(f"Size{d}", "1")) for d in "CZT"}
+        order = pixels.get("DimensionOrder", "XYZCT")
+    except (TypeError, ValueError):
+        return None
+    rem = [d for d in order[2:] if d in "CZT"]
+    if sorted(rem) != ["C", "T", "Z"]:
+        return None
+    n_planes = sizes["C"] * sizes["Z"] * sizes["T"]
+    if n_planes != stack.shape[0]:
+        return None  # multi-file OME or TiffData gaps: leave the raw stack
+    # plane index runs FASTEST along the first letter after XY, so the
+    # reshape axes are reversed(rem); then permute to canonical (T, Z, C)
+    shaped = stack.reshape(
+        tuple(sizes[d] for d in reversed(rem)) + stack.shape[1:]
+    )
+    axes = [list(reversed(rem)).index(d) for d in "TZC"]
+    return np.transpose(
+        shaped, tuple(axes) + tuple(range(3, shaped.ndim))
+    )
 
 
 def _imagej_contiguous_stack(raw, en: str, tags, first_page: np.ndarray):

@@ -531,3 +531,74 @@ def test_imagej_contiguous_stack(tmp_path):
     # plain imread still returns the first page (with the multi-page
     # warning suppressed since there is only one IFD)
     np.testing.assert_array_equal(io.imread(path), stack[0])
+
+
+def test_imsave_description_roundtrip(tmp_path):
+    """ImageDescription write: our parser and PIL both read it back."""
+    from PIL import Image
+
+    arr = RNG.integers(0, 255, size=(9, 11, 3)).astype(np.uint8)
+    path = str(tmp_path / "desc.tif")
+    desc = "ImageJ=1.53t\nimages=1\n"
+    io.imsave(path, arr, description=desc)
+    np.testing.assert_array_equal(io.imread(path), arr)
+    raw = open(path, "rb").read()
+    tags, _ = io._parse_ifd(raw, "<", 8, False)
+    got = tags[io._IMAGE_DESCRIPTION][2].split(b"\0")[0].decode()
+    assert got == desc
+    with Image.open(path) as im:
+        assert im.tag_v2[io._IMAGE_DESCRIPTION].rstrip("\0") == desc
+        np.testing.assert_array_equal(np.asarray(im), arr)
+
+    # short (<=4 byte) description packs inline
+    io.imsave(path, arr, description="abc")
+    tags, _ = io._parse_ifd(open(path, "rb").read(), "<", 8, False)
+    assert tags[io._IMAGE_DESCRIPTION][2] == b"abc\0"
+    np.testing.assert_array_equal(io.imread(path), arr)
+
+
+def test_ome_tiff_stack(tmp_path):
+    """OME-TIFF read: the Pixels element shapes the page chain into
+    (T, Z, C, Y, X) — written with our own writer's description support,
+    plane values encode their (t, z, c) coordinates."""
+    sc, sz, st, h, w = 2, 3, 2, 6, 7
+    ome = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT" '
+        f'Type="uint16" SizeX="{w}" SizeY="{h}" SizeC="{sc}" SizeZ="{sz}" '
+        f'SizeT="{st}"/></Image></OME>'
+    )
+    pages = []
+    for t in range(st):
+        for z in range(sz):
+            for c in range(sc):  # C fastest per XYCZT
+                pages.append(
+                    np.full((h, w), t * 100 + z * 10 + c, np.uint16)
+                )
+    path = str(tmp_path / "ome.tif")
+    io.imsave_pages(path, pages, description=ome)
+    got = io.imread(path, pages=True)
+    assert got.shape == (st, sz, sc, h, w)
+    for t in range(st):
+        for z in range(sz):
+            for c in range(sc):
+                assert got[t, z, c, 0, 0] == t * 100 + z * 10 + c
+
+    # XYZCT variant: Z fastest
+    ome2 = ome.replace('DimensionOrder="XYCZT"', 'DimensionOrder="XYZCT"')
+    pages2 = []
+    for t in range(st):
+        for c in range(sc):
+            for z in range(sz):
+                pages2.append(
+                    np.full((h, w), t * 100 + z * 10 + c, np.uint16)
+                )
+    io.imsave_pages(path, pages2, description=ome2)
+    got2 = io.imread(path, pages=True)
+    assert got2.shape == (st, sz, sc, h, w)
+    np.testing.assert_array_equal(got2, got)
+
+    # a non-OME multipage keeps the flat (N, ...) stack
+    io.imsave_pages(path, pages)
+    assert io.imread(path, pages=True).shape == (st * sz * sc, h, w)
