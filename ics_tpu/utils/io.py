@@ -33,6 +33,7 @@ __all__ = [
     "imsave_tiled",
     "imread",
     "imread_sequence",
+    "read_description",
     "memmap_create",
     "load_image",
 ]
@@ -927,6 +928,37 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     # copy=False: skip the redundant 144 MB copy for the common
     # native-order case (only opposite-endian files pay the byteswap)
     return arr.astype(dtype.newbyteorder("="), copy=False)
+
+
+def read_description(path: str) -> str | None:
+    """The first page's ImageDescription (where ImageJ / OME-XML metadata
+    live), or None — the lightweight counterpart of the reference's
+    tifffile page ``description`` attribute.  mmap-backed: only the
+    header/IFD pages fault in; pixel data is never read."""
+    import mmap as _mmap
+
+    with open(path, "rb") as f:
+        try:
+            raw = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            raw = f.read()
+    en = {b"II": "<", b"MM": ">"}.get(bytes(raw[:2]))
+    if en is None:
+        raise ValueError("not a TIFF file")
+    (magic,) = struct.unpack(en + "H", raw[2:4])
+    if magic == 42:
+        (ifd_off,) = struct.unpack(en + "I", raw[4:8])
+        big = False
+    elif magic == 43:
+        (ifd_off,) = struct.unpack(en + "Q", raw[8:16])
+        big = True
+    else:
+        raise ValueError("not a TIFF file")
+    tags, _ = _parse_ifd(raw, en, ifd_off, big)
+    desc = tags.get(_IMAGE_DESCRIPTION)
+    if desc is None or desc[0] != 2:
+        return None
+    return desc[2].split(b"\0", 1)[0].decode("utf-8", "replace")
 
 
 def imread_sequence(pattern, prefetch: bool = True) -> np.ndarray:

@@ -602,3 +602,18 @@ def test_ome_tiff_stack(tmp_path):
     # a non-OME multipage keeps the flat (N, ...) stack
     io.imsave_pages(path, pages)
     assert io.imread(path, pages=True).shape == (st * sz * sc, h, w)
+
+
+def test_read_description(tmp_path):
+    arr = RNG.integers(0, 255, size=(5, 6)).astype(np.uint8)
+    path = str(tmp_path / "d.tif")
+    io.imsave(path, arr, description="hello OME world")
+    assert io.read_description(path) == "hello OME world"
+    io.imsave(path, arr)
+    assert io.read_description(path) is None
+    io.imsave_bigtiff(path, arr)
+    assert io.read_description(path) is None  # BigTIFF header path
+    bad = str(tmp_path / "bad.bin")
+    open(bad, "wb").write(b"notatiff")
+    with pytest.raises(ValueError):
+        io.read_description(bad)
