@@ -31,6 +31,7 @@ __all__ = [
     "imsave_pages",
     "imsave_bigtiff",
     "imsave_tiled",
+    "imsave_imagej",
     "imread",
     "imread_sequence",
     "read_description",
@@ -361,6 +362,23 @@ def imsave_pages(
         for i, plan in enumerate(plans):
             next_off = offs[i + 1] if i + 1 < len(plans) else 0
             f.write(_emit_page(plan, offs[i], next_off))
+
+
+def imsave_imagej(path: str, stack: np.ndarray) -> None:
+    """Write an (N, ...) frame stack in ImageJ's hyperstack layout: ONE
+    IFD describing frame 0 with ``ImageJ= / images=N`` in the description,
+    and all N frames contiguous after it (what ImageJ itself writes and
+    what our ``imread(pages=True)`` / tifffile's ``is_imagej`` path read).
+    Far cheaper than an N-page chain for large stacks: one IFD total."""
+    stack = np.ascontiguousarray(stack)
+    if stack.ndim not in (3, 4):
+        raise ValueError(f"need an (N, H, W[, C]) stack, got {stack.shape}")
+    n = stack.shape[0]
+    desc = f"ImageJ=1.53t\nimages={n}\nslices={n}\nloop=false"
+    imsave(path, stack[0], description=desc)
+    if n > 1:
+        with open(path, "ab") as f:
+            f.write(stack[1:].astype("<" + stack.dtype.str[1:]).tobytes())
 
 
 def imsave_tiled(

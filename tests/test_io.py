@@ -617,3 +617,25 @@ def test_read_description(tmp_path):
     open(bad, "wb").write(b"notatiff")
     with pytest.raises(ValueError):
         io.read_description(bad)
+
+
+def test_imsave_imagej_roundtrip(tmp_path):
+    """ImageJ hyperstack writer: one IFD + contiguous frames, read back by
+    our is_imagej path; PIL sees (only) frame 0, as ImageJ files behave."""
+    from PIL import Image
+
+    stack = RNG.integers(0, 65535, size=(5, 8, 9)).astype(np.uint16)
+    path = str(tmp_path / "ijw.tif")
+    io.imsave_imagej(path, stack)
+    got = io.imread(path, pages=True)
+    np.testing.assert_array_equal(got, stack)
+    assert "images=5" in io.read_description(path)
+    with Image.open(path) as im:
+        assert im.n_frames == 1  # single IFD by design
+        np.testing.assert_array_equal(np.asarray(im), stack[0])
+    # RGB stack variant + single-frame edge
+    rgb = RNG.integers(0, 255, size=(3, 6, 7, 3)).astype(np.uint8)
+    io.imsave_imagej(path, rgb)
+    np.testing.assert_array_equal(io.imread(path, pages=True), rgb)
+    io.imsave_imagej(path, rgb[:1])
+    np.testing.assert_array_equal(io.imread(path), rgb[0])
