@@ -40,6 +40,7 @@ __all__ = [
 ]
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -606,6 +607,7 @@ _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_CZ_LSMINFO = 34412  # Zeiss LSM private tag (first IFD only)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -724,6 +726,7 @@ def _decode_tiff(raw, path: str, memmap: bool = False, pages: bool = False):
     if memmap:
         raise ValueError("memmap=True reads a single page; drop pages=True")
     out_pages = []
+    page_tags = []
     first_tags = None
     seen = set()
     while ifd_off and ifd_off not in seen:  # cycle guard on corrupt chains
@@ -731,7 +734,12 @@ def _decode_tiff(raw, path: str, memmap: bool = False, pages: bool = False):
         tags, ifd_off = _parse_ifd(raw, en, ifd_off, big)
         if first_tags is None:
             first_tags = tags
+        page_tags.append(tags)
         out_pages.append(_read_page(raw, en, big, tags, path, False))
+    if first_tags is not None and _CZ_LSMINFO in first_tags:
+        lsm = _lsm_stack(en, first_tags, page_tags, out_pages)
+        if lsm is not None:
+            return lsm
     if len(out_pages) == 1:
         # ImageJ writes hyperstacks as ONE IFD + "images=N" in the
         # ImageDescription, with the N frames contiguous after the first
@@ -793,6 +801,40 @@ def _ome_reshape(tags, stack: np.ndarray):
     return np.transpose(
         shaped, tuple(axes) + tuple(range(3, shaped.ndim))
     )
+
+
+def _lsm_stack(en: str, first_tags, page_tags, pages):
+    """Zeiss LSM: drop the interleaved thumbnail IFDs (NewSubfileType bit
+    0x1 = reduced-resolution) and, when the CZ_LSMINFO dimensions match,
+    shape the full-resolution planes to (T, Z, Y, X[, S]) — Z runs fastest
+    along the LSM plane chain (the reference's tifffile reads these via
+    its lsm series path).  None when the full-res pages are inhomogeneous
+    (caller falls back to the generic stack/list handling)."""
+    full = [
+        p
+        for t, p in zip(page_tags, pages)
+        if not (
+            _NEW_SUBFILE_TYPE in t
+            and struct.unpack(
+                en + _TYPE_FMT[t[_NEW_SUBFILE_TYPE][0]],
+                t[_NEW_SUBFILE_TYPE][2][
+                    : _TYPE_SIZE[t[_NEW_SUBFILE_TYPE][0]]
+                ],
+            )[0]
+            & 0x1
+        )
+    ]
+    if not full or len({(p.shape, p.dtype) for p in full}) != 1:
+        return None
+    stack = np.stack(full)
+    info = first_tags[_CZ_LSMINFO][2]
+    if len(info) >= 28:
+        # CZ_LSMINFO layout: u32 magic, i32 size, i32 DimX, DimY, DimZ,
+        # DimChannels, DimTime (channels ride SamplesPerPixel here)
+        dim_z, _dim_c, dim_t = struct.unpack(en + "3i", info[16:28])
+        if dim_z >= 1 and dim_t >= 1 and dim_z * dim_t == stack.shape[0]:
+            return stack.reshape((dim_t, dim_z) + stack.shape[1:])
+    return stack
 
 
 def _imagej_contiguous_stack(raw, en: str, tags, first_page: np.ndarray):

@@ -639,3 +639,68 @@ def test_imsave_imagej_roundtrip(tmp_path):
     np.testing.assert_array_equal(io.imread(path, pages=True), rgb)
     io.imsave_imagej(path, rgb[:1])
     np.testing.assert_array_equal(io.imread(path), rgb[0])
+
+
+def test_lsm_stack_read(tmp_path):
+    """Zeiss LSM layout: full-res/thumbnail IFD pairs + CZ_LSMINFO dims.
+    The reader drops the NewSubfileType=1 thumbnails and shapes the planes
+    to (T, Z, Y, X) from the private struct (hand-built fixture — no
+    public LSM writer exists in this environment)."""
+    dim_z, dim_t, h, w = 3, 2, 5, 6
+    fulls = [
+        np.full((h, w), 10 * t + z, np.uint8)
+        for t in range(dim_t) for z in range(dim_z)  # Z fastest
+    ]
+    thumb = np.zeros((2, 2), np.uint8)
+    lsminfo = struct.pack("<Ii5i", 0x00400494, 28, w, h, dim_z, 1, dim_t)
+
+    def page_entries(arr, subfile, with_lsm):
+        e = [
+            (254, 4, 1, subfile),
+            (256, 4, 1, arr.shape[1]),
+            (257, 4, 1, arr.shape[0]),
+            (258, 3, 1, 8),
+            (259, 3, 1, 1),
+            (262, 3, 1, 1),
+            (273, 4, 1, None),  # data offset, resolved below
+            (277, 3, 1, 1),
+            (278, 4, 1, arr.shape[0]),
+            (279, 4, 1, arr.size),
+            (339, 3, 1, 1),
+        ]
+        if with_lsm:
+            e.append((34412, 7, len(lsminfo), "ext"))
+        return e
+
+    pages = []
+    for i, f in enumerate(fulls):
+        pages.append((f, 0, i == 0))
+        pages.append((thumb, 1, False))
+    blob = struct.pack("<2sHI", b"II", 42, 8)
+    off = 8
+    for i, (arr, subfile, first) in enumerate(pages):
+        ents = page_entries(arr, subfile, first)
+        ifd_size = 2 + len(ents) * 12 + 4
+        ext = lsminfo if first else b""
+        data_off = off + ifd_size + len(ext)
+        seg = struct.pack("<H", len(ents))
+        for tag, typ, cnt, val in ents:
+            if val is None:
+                val = data_off
+            elif val == "ext":
+                val = off + ifd_size
+            payload = (struct.pack("<HH", val, 0) if typ == 3
+                       else struct.pack("<I", val))
+            seg += struct.pack("<HHI", tag, typ, cnt) + payload
+        next_off = data_off + arr.size if i + 1 < len(pages) else 0
+        seg += struct.pack("<I", next_off) + ext + arr.tobytes()
+        blob += seg
+        off = data_off + arr.size
+    path = str(tmp_path / "z.lsm")
+    open(path, "wb").write(blob)
+
+    got = io.imread(path, pages=True)
+    assert got.shape == (dim_t, dim_z, h, w)
+    for t in range(dim_t):
+        for z in range(dim_z):
+            assert got[t, z, 0, 0] == 10 * t + z
