@@ -248,8 +248,17 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
     kernel's certified envelope).  Trades program size (~mk² unrolled
     statements per conv) for the fori overheads: no per-tap-row roll copy
     of the full window, no sequential scalar-core fori for the PSF
-    copy/update/tie/normalize chain.  Only instantiated for mk ≤ 13 — see
-    the dispatch in ``_inner_loop``."""
+    copy/update/tie/normalize chain.  Only instantiated for mk ≤ 13, and
+    for blind kernels only under the VMEM-stack bound — see the dispatch
+    in ``_inner_loop``.
+
+    Measured verdict (v5e, 257² mask window, mk=7 — the real pipeline
+    geometry): non-blind 0.743 vs the fori body's 0.766 ms/outer (~3%)
+    at 56 s vs 3 s compile; blind exceeds Mosaic's 16 MB scoped-VMEM
+    stack (21.3-21.5 MB) and cannot compile.  The fori body therefore
+    stays the default everywhere; this variant remains opt-in for
+    windows inside the stack bound (certified by bench.py --selftest at
+    255²)."""
     pad = (u_m - m) // 2
     inv_un = 1.0 / (u_m * u_n)
     C = 3
@@ -266,12 +275,14 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
                     psf_out[c, a, b] = psf_ref[c, a, b]
 
         def conv_valid_residual(c):
-            u_c = u_ref[c]
+            # tap windows load straight from the ref (static starts) — a
+            # full-array load + value slicing keeps the whole (u_m, u_n)
+            # buffer plus every live window on Mosaic's VMEM stack, which
+            # blew the 16 MB scoped limit at the real 257² mask geometry
             err = -image_ref[c]
             for t1 in range(mk):
-                win = u_c[t1 : t1 + m]
                 for t2 in range(mk):
-                    err = err + win[:, t2 : t2 + n] * psf_out[
+                    err = err + u_ref[c, t1 : t1 + m, t2 : t2 + n] * psf_out[
                         c, mk - 1 - t1, mk - 1 - t2
                     ]
             return err
@@ -282,12 +293,12 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
 
             epad_ref[c] = jnp.zeros((u_m + mk - 1, u_n + mk - 1), f32)
             epad_ref[c, mk - 1 : mk - 1 + m, mk - 1 : mk - 1 + n] = error_c
-            epad_c = epad_ref[c]
             gradu = jnp.zeros((u_m, u_n), f32)
             for t1 in range(mk):
-                win = epad_c[t1 : t1 + u_m]
                 for t2 in range(mk):
-                    gradu = gradu + win[:, t2 : t2 + u_n] * psf_out[c, t1, t2]
+                    gradu = gradu + epad_ref[
+                        c, t1 : t1 + u_m, t2 : t2 + u_n
+                    ] * psf_out[c, t1, t2]
 
             image_c = image_ref[c]
             gcrop = gradu[pad : pad + m, pad : pad + n]
@@ -319,14 +330,21 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
             for c in range(C):
                 err_out[c] = conv_valid_residual(c)
 
+            # Each tap's (m, n) product temp is staged through ONE reused
+            # scratch ref (epad's top-left corner — free here, it is only
+            # live inside minimize_channel): without the ref round-trip
+            # Mosaic keeps all mk² unrolled product temps live on the VMEM
+            # stack at once — 49 × ~405 KB ≈ 20 MB at the real 257² mask
+            # geometry, past the 16 MB scoped limit (measured OOM).
             gk_max = f32(0.0)
             for c in range(C):
-                u_c = u_ref[c]
                 err_c = err_out[c]
                 for t1 in range(mk):
-                    win = u_c[t1 : t1 + m]
                     for t2 in range(mk):
-                        g = jnp.sum(win[:, t2 : t2 + n] * err_c)
+                        epad_ref[0, 0:m, 0:n] = (
+                            u_ref[c, t1 : t1 + m, t2 : t2 + n] * err_c
+                        )
+                        g = jnp.sum(epad_ref[0, 0:m, 0:n])
                         gradk_ref[c, mk - 1 - t1, mk - 1 - t2] = g
                         gk_max = jnp.maximum(gk_max, jnp.abs(g))
 
@@ -403,7 +421,18 @@ def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation,
     _, u_m, u_n = u.shape
     _, m, n = image.shape
     mk = psf.shape[1]
-    factory = _make_kernel_unrolled if (unroll and mk <= 13) else _make_kernel
+    unroll_ok = unroll and mk <= 13
+    if unroll_ok and blind:
+        # Empirical Mosaic VMEM-stack model at the measured OOM boundary
+        # (v5e, 16 MB scoped limit): the unrolled BLIND body keeps ~mk²
+        # plane-sized temps live on the stack — 49 × (264×256×4) = 13.2 MB
+        # compiles at a 255² window, 49 × (264×384×4) = 19.8 MB OOMs at
+        # 257² (lane padding jumps 256 → 384).  Planes pad to (8, 128)
+        # tiles.  Past the bound, fall back to the fori body instead of
+        # failing the remote compile.
+        stack = mk * mk * (-(-u_m // 8) * 8) * (-(-u_n // 128) * 128) * 4
+        unroll_ok = stack <= int(13.5 * 2**20)
+    factory = _make_kernel_unrolled if unroll_ok else _make_kernel
     kernel = factory(m, n, u_m, u_n, mk, blind=blind, correlation=correlation)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
