@@ -42,7 +42,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["inner_loop_pallas", "fits_vmem"]
+__all__ = ["inner_loop_pallas", "fits_vmem", "unroll_fits"]
 
 _INNER_ITER = 5  # ref lib/deconvolution.pyx:375
 
@@ -51,6 +51,25 @@ def fits_vmem(u_m: int, u_n: int, budget_bytes: int = 10 * 2**20) -> bool:
     """True when the whole inner loop fits in VMEM (~8 image-sized f32
     buffers plus slack)."""
     return 8 * (3 * u_m * u_n * 4) < budget_bytes
+
+
+def unroll_fits(m: int, n: int, mk: int, blind: bool) -> bool:
+    """True when the statically-unrolled kernel body stays inside Mosaic's
+    16 MB scoped-VMEM stack.  ``(m, n)`` are the IMAGE (unpadded) dims —
+    the dominant live temps are image-plane-sized.
+
+    Empirical model at the measured OOM boundary (v5e): the unrolled
+    BLIND body keeps ~mk² image-plane temps live on the stack — mk²=49 ×
+    (256×256×4) = 12.8 MB compiles at a 255² image, 49 × (264×384×4) =
+    19.8 MB OOMs at 257² (lane padding jumps 256 → 384; planes pad to
+    (8, 128) tiles).  Non-blind bodies measured inside the limit at the
+    real geometries."""
+    if mk > 13:
+        return False
+    if not blind:
+        return True
+    stack = mk * mk * (-(-m // 8) * 8) * (-(-n // 128) * 128) * 4
+    return stack <= int(13.5 * 2**20)
 
 
 def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
@@ -332,10 +351,12 @@ def _make_kernel_unrolled(m, n, u_m, u_n, mk, *, blind, correlation):
 
             # Each tap's (m, n) product temp is staged through ONE reused
             # scratch ref (epad's top-left corner — free here, it is only
-            # live inside minimize_channel): without the ref round-trip
-            # Mosaic keeps all mk² unrolled product temps live on the VMEM
-            # stack at once — 49 × ~405 KB ≈ 20 MB at the real 257² mask
-            # geometry, past the 16 MB scoped limit (measured OOM).
+            # live inside minimize_channel) to keep the unrolled products
+            # off the VMEM stack.  Measured: this alone saves only
+            # ~0.26 MB of the blind body's ~21.5 MB stack at 257² — the
+            # bulk of the live set is elsewhere in the unrolled blind
+            # body, which is why dispatch gates on ``unroll_fits``
+            # instead of relying on staging.
             gk_max = f32(0.0)
             for c in range(C):
                 err_c = err_out[c]
@@ -421,18 +442,14 @@ def _inner_loop(u, image, psf, step_factor, lambd, *, blind, correlation,
     _, u_m, u_n = u.shape
     _, m, n = image.shape
     mk = psf.shape[1]
-    unroll_ok = unroll and mk <= 13
-    if unroll_ok and blind:
-        # Empirical Mosaic VMEM-stack model at the measured OOM boundary
-        # (v5e, 16 MB scoped limit): the unrolled BLIND body keeps ~mk²
-        # plane-sized temps live on the stack — 49 × (264×256×4) = 13.2 MB
-        # compiles at a 255² window, 49 × (264×384×4) = 19.8 MB OOMs at
-        # 257² (lane padding jumps 256 → 384).  Planes pad to (8, 128)
-        # tiles.  Past the bound, fall back to the fori body instead of
-        # failing the remote compile.
-        stack = mk * mk * (-(-u_m // 8) * 8) * (-(-u_n // 128) * 128) * 4
-        unroll_ok = stack <= int(13.5 * 2**20)
-    factory = _make_kernel_unrolled if unroll_ok else _make_kernel
+    # Past the unroll_fits bound the unrolled body cannot compile (scoped-
+    # VMEM stack OOM) — fall back to the fori body instead of failing the
+    # remote compile.
+    factory = (
+        _make_kernel_unrolled
+        if (unroll and unroll_fits(m, n, mk, blind))
+        else _make_kernel
+    )
     kernel = factory(m, n, u_m, u_n, mk, blind=blind, correlation=correlation)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)

@@ -276,3 +276,16 @@ def test_inner_loop_pallas_unrolled_config_dispatch():
                            config=RLConfig(inner_loop="pallas_unrolled"), **kw)
     np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=5e-5)
     np.testing.assert_allclose(np.asarray(b.psf), np.asarray(a.psf), atol=1e-6)
+
+
+def test_unroll_fits_measured_boundary():
+    """Pins the empirical Mosaic VMEM-stack gate at the two measured
+    geometries (v5e): a 255² blind mask image (pads to 256×256 lanes,
+    12.8 MB modeled stack) compiled on hardware; 257² (264×384, 19.8 MB)
+    OOM'd the 16 MB scoped limit.  Non-blind bodies compile at both."""
+    from ics_tpu.ops.pallas_solver import unroll_fits
+
+    assert unroll_fits(255, 255, 7, blind=True)       # 255² image: compiled
+    assert not unroll_fits(257, 257, 7, blind=True)   # 257² image: OOM'd
+    assert unroll_fits(257, 257, 7, blind=False)      # non-blind: compiled
+    assert not unroll_fits(257, 257, 15, blind=False)  # mk cap
