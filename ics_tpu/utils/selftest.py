@@ -172,6 +172,38 @@ def certify_kernels(report=print) -> bool:
     check("solver inner loop unrolled (psf)",
           lambda: run("pallas_unrolled").psf, res_x.psf, 1e-4)
 
+    # 8. jitted pipeline glue vs eager op-by-op on THIS backend.  Under
+    # --xla_allow_excess_precision, fusion may legally re-associate the
+    # pow/resize math by 1-2 ulp (measured on v5e r4) — enough to re-roll
+    # the solver's chaotic whiteness stop, so a SHIFT in these deltas
+    # after a platform/toolchain change explains shifted iteration counts
+    # (docs/STATUS.md "Session-3 results").  The tolerance is the ulp
+    # class, not bit equality.
+    from ics_tpu.models.pipeline import _postprocess_jit, _preprocess_jit
+    from ics_tpu.utils.resize import resize_jax
+
+    raw = jnp.asarray(
+        np.clip(np.asarray(img[:256, :384]) * 255.0, 0, 255).astype(np.uint8)
+    )
+    with jax.disable_jit():
+        pre_e = (
+            jnp.pad(raw.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)),
+                    mode="edge") / 255
+        ) ** (1 / 2.2)
+        post_e = (jnp.clip(img, 0.0, 1.0) ** 2.2 * (2**16 - 1)).astype(
+            jnp.uint16
+        )
+        rsz_e = resize_jax(img, (361, 452)).astype(jnp.float32)
+    check("glue preprocess (jit/eager)",
+          lambda: _preprocess_jit(raw, 255), pre_e, 1e-6)
+    check("glue postprocess (jit/eager)",
+          lambda: _postprocess_jit(img)[0].astype(jnp.float32),
+          np.asarray(post_e, np.float32), 1e-6)
+    check("glue resize (jit/eager)",
+          lambda: jax.jit(
+              lambda a: resize_jax(a, (361, 452)).astype(jnp.float32)
+          )(img), rsz_e, 1e-6)
+
     report(
         f"[selftest] backend={jax.default_backend()} "
         f"{sum(p for _, _, p in checks)}/{len(checks)} passed"
