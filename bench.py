@@ -165,6 +165,12 @@ def main():
         help="chained-scan microbenchmark of the conv backends and exit",
     )
     ap.add_argument(
+        "--success-rate", action="store_true",
+        help="blind-restoration success battery (the reference README's "
+             "'sharp picture within 5%% error in >50%% of tests' claim, "
+             "ref README.md:146-148, made reproducible) and exit",
+    )
+    ap.add_argument(
         "--scaling", action="store_true",
         help="fixed-work sharded-solve scaling curve over n=1,2,4,8 "
              "devices and exit (re-execs onto a virtual 8-device CPU mesh "
@@ -209,6 +215,29 @@ def main():
         raise SystemExit(
             subprocess.call([sys.executable, __file__, "--scaling"], env=env)
         )
+
+    if args.success_rate:
+        from ics_tpu.utils.selftest import bench_success_rate
+
+        enable_persistent_cache()
+        rate, rows = bench_success_rate()
+        print(json.dumps({
+            "metric": "blind-restoration success rate (restored rel-L2 "
+                      "error < 5% vs sharp original AND SSIM improved, "
+                      "10-case synthetic battery)",
+            "value": rate,
+            "unit": "fraction",
+            "vs_baseline": round(rate / 0.5, 2),  # ref claim: >50%
+            "cases": {
+                name: {"input_err": round(ie, 4),
+                       "restored_err": round(oe, 4),
+                       "input_ssim": round(is_, 4),
+                       "restored_ssim": round(os_, 4),
+                       "success": s}
+                for name, ie, oe, is_, os_, s in rows
+            },
+        }))
+        raise SystemExit(0 if rate > 0.5 else 1)
 
     if args.selftest or args.kernels:
         from ics_tpu.utils.selftest import bench_conv_backends, certify_kernels

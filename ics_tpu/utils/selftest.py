@@ -20,7 +20,12 @@ import time
 
 import numpy as np
 
-__all__ = ["certify_kernels", "bench_conv_backends", "bench_scaling"]
+__all__ = [
+    "certify_kernels",
+    "bench_conv_backends",
+    "bench_scaling",
+    "bench_success_rate",
+]
 
 
 def _real_image(h, w):
@@ -341,3 +346,233 @@ def _timed(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def _sharp_frame(fallback_size: int = 512) -> np.ndarray:
+    """The reference's SHARP fixture, full frame (uint8 HxWx3) — the sharp
+    half of the blured/original pair its published benchmark is built on
+    (ref img/README.md); deterministic random stand-in off-box."""
+    import os
+
+    path = "/root/reference/img/original.jpg"
+    if os.path.exists(path):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im, np.uint8)
+    rng = np.random.default_rng(3)
+    base = rng.random((fallback_size, fallback_size, 1)).astype(np.float32)
+    return (np.repeat(base, 3, axis=-1) * 255).astype(np.uint8)
+
+
+def _sharp_crop(size: int) -> np.ndarray:
+    """Highest-detail size² crop of the reference's SHARP fixture (uint8).
+
+    img/original.jpg is the sharp half of the blured/original synthetic
+    pair the reference's own published benchmark is built on
+    (ref img/README.md) — real photographic statistics, known ground
+    truth.  The crop maximizes mean |gradient| over a coarse grid: a
+    SMOOTH crop makes the success metric trivial (blur barely moves the
+    display-space error — the full blured/original pair differs by only
+    2% rel-L2), so the battery deliberately runs on detail, where
+    restoring to < 5% requires actually deblurring."""
+    arr = _sharp_frame(fallback_size=size * 2)
+    h, w = arr.shape[:2]
+    g = np.asarray(arr, np.float32).mean(axis=-1)
+    best, top, left = -1.0, 0, 0
+    for t in range(0, h - size + 1, max(1, size // 2)):
+        for l in range(0, w - size + 1, max(1, size // 2)):
+            win = g[t : t + size, l : l + size]
+            detail = float(
+                np.abs(np.diff(win, axis=0)).mean()
+                + np.abs(np.diff(win, axis=1)).mean()
+            )
+            if detail > best:
+                best, top, left = detail, t, l
+    return np.ascontiguousarray(arr[top : top + size, left : left + size])
+
+
+def _blob_kernel(size: int, seed: int) -> np.ndarray:
+    """Soft irregular broad PSF — the class the reference's own synthetic
+    pair was made with (see ``_fitted_kernel``): a mildly center-weighted
+    ragged blob with mass over the full support (fitted profile: center
+    ~3x the mean tap, corners ~0.5x — defocus-like, NOT a tight
+    Gaussian)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[:size, :size] - (size - 1) / 2.0
+    radial = 0.5 + 2.6 * np.exp(-(yy**2 + xx**2) / (2 * (size / 3.5) ** 2))
+    ragged = np.clip(
+        1.0 + 0.5 * gaussian_filter(rng.standard_normal((size, size)), 0.8),
+        0.3, 1.7,
+    )
+    k = radial * ragged
+    return (k / k.sum()).astype(np.float32)
+
+
+def _fitted_kernel() -> np.ndarray:
+    """The reference's OWN blur, recovered: least-squares fit of the 7x7
+    display-space kernel mapping img/original.jpg to img/blured.jpg
+    (residual 0.5%), clipped to >= 0 and normalized.  Fallback: the blob
+    class it belongs to."""
+    import os
+
+    o_path = "/root/reference/img/original.jpg"
+    b_path = "/root/reference/img/blured.jpg"
+    if not (os.path.exists(o_path) and os.path.exists(b_path)):
+        return _blob_kernel(7, 5)
+    from PIL import Image
+
+    with Image.open(o_path) as im:
+        og = np.asarray(im, np.float64).mean(-1) / 255.0
+    with Image.open(b_path) as im:
+        bg = np.asarray(im, np.float64).mean(-1) / 255.0
+    ys, xs = np.mgrid[420:680:4, 420:680:4]
+    ys, xs = ys.ravel(), xs.ravel()
+    cols = [og[ys + dy, xs + dx]
+            for dy in range(-3, 4) for dx in range(-3, 4)]
+    k, *_ = np.linalg.lstsq(np.stack(cols, axis=1), bg[ys, xs], rcond=None)
+    k = np.clip(k.reshape(7, 7), 0.0, None)
+    return (k / k.sum()).astype(np.float32)
+
+
+def make_success_battery(noise_sigma: float = 1.0):
+    """The (name, psf, noise) battery behind ``bench_success_rate``.
+
+    Composition mirrors the reference's actual use cases — defocus /
+    soft-lens blurs, whose broad shape the solver's uniform PSF init
+    approximates (ref README.md:103 "the initial PSF is assumed to be an
+    uniform blur, and then refined") — plus tight Gaussians as the
+    method's honest hard cases: under reference-parity step sizes the
+    blind refinement moves the PSF too slowly to reach a strongly peaked
+    shape, a property of the algorithm, not of this port.  ``noise`` is
+    the display-space Gaussian sigma in 8-bit counts."""
+    from ics_tpu.ops import windows
+
+    fitted = _fitted_kernel()
+    return [
+        ("uniform-5", windows.uniform_kernel(5), 0.0),
+        ("uniform-7", windows.uniform_kernel(7), 0.0),
+        ("fitted-7", fitted, 0.0),
+        ("blob-7", _blob_kernel(7, 5), 0.0),
+        ("blob-9", _blob_kernel(9, 6), 0.0),
+        ("lens-7", windows.lens_blur(14), 0.0),
+        ("gauss-5", windows.gaussian_kernel(5, 2.0), 0.0),
+        ("gauss-7", windows.gaussian_kernel(7, 2.0), 0.0),
+        ("uniform-7-noise", windows.uniform_kernel(7), noise_sigma),
+        ("fitted-7-noise", fitted, noise_sigma),
+    ]
+
+
+def synth_blur_case(sharp8: np.ndarray, psf: np.ndarray, noise_sigma: float,
+                    seed: int = 7) -> np.ndarray:
+    """Synthesize a blind-deblur input: blur the sharp frame in LINEAR
+    light (the physical model the pipeline's de-gamma assumes, ref
+    deconvolve.py:102-103), re-gamma, add display-space sensor noise,
+    quantize to uint8."""
+    from scipy.signal import convolve2d
+
+    lin = (sharp8.astype(np.float32) / 255.0) ** 2.2
+    blurred = np.dstack(
+        [
+            convolve2d(lin[..., c], psf, mode="same", boundary="symm")
+            for c in range(3)
+        ]
+    )
+    disp = np.clip(blurred, 0.0, 1.0) ** (1 / 2.2) * 255.0
+    if noise_sigma:
+        rng = np.random.default_rng(seed)
+        disp = disp + rng.normal(0.0, noise_sigma, disp.shape)
+    return np.clip(np.rint(disp), 0, 255).astype(np.uint8)
+
+
+def rel_error(out16: np.ndarray, sharp8: np.ndarray) -> float:
+    """Relative L2 error of a pipeline output (uint16, same spatial dims
+    as the input frame) against the sharp uint8 original, in display
+    (gamma) space — the space the reference's images live in."""
+    got = np.asarray(out16, np.float64) / 65535.0
+    want = np.asarray(sharp8, np.float64) / 255.0
+    return float(
+        np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+    )
+
+
+def bench_success_rate(
+    size=None, iterations=200, mask_size=255, report=print, solver="mm",
+):
+    """Blind-restoration success battery.
+
+    The reference's README claims the MM solver "has found the sharp
+    picture at a margin of error of 5 % in more than 50 % of the tests"
+    (ref README.md:146-148) without recording the protocol.  This is the
+    reproducible counterpart: blur the reference's OWN sharp frame
+    (img/original.jpg — the sharp half of its published benchmark pair)
+    with the ``make_success_battery`` PSFs (with and without sensor
+    noise), run the full blind+non-blind pipeline given only the blur
+    WIDTH as a hint and the reference's own published driving parameters
+    (quality 'normal', tolerance 0.1, 200 iterations, its own PSF-mask
+    window — the v29 case, ref deconvolve.py:385-387), and score the
+    restored image against the sharp original in display space.
+
+    The literal 5 %-error bar alone is nearly vacuous — a normal photo's
+    blurred frame already sits at ~2-6 % relative L2 from its sharp
+    original (the reference's own blured/original pair differs by 2 %,
+    and its restored v29 output through this pipeline measures 1.9 %) —
+    so success here requires BOTH halves of "found the sharp picture
+    within 5 %":
+
+        success := restored rel-L2 error < 5 %  AND  SSIM(restored) >
+        SSIM(blurred input)   (it got closer to the sharp picture)
+
+    ``size`` crops the canvas (highest-detail size² crop, centered mask)
+    for cheap CPU runs; the measured battery runs on the full frame.
+    Returns ``(success_rate, rows)``; each row is ``(name, input_err,
+    output_err, input_ssim, output_ssim, success)``.  Measured result
+    and interpretation: docs/PERFORMANCE.md "Blind-restoration success
+    rate".
+    """
+    from ics_tpu.models.pipeline import deblur_module
+    from ics_tpu.utils.metrics import ssim
+
+    if size is None:
+        sharp8 = _sharp_frame()
+        mask_kw = {"mask": [584, 795], "mask_size": mask_size}
+    else:
+        sharp8 = _sharp_crop(size)
+        mask_kw = {"mask_size": mask_size}
+    want = np.asarray(sharp8, np.float64) / 255.0
+    rows = []
+    for name, psf, noise in make_success_battery():
+        blurred = synth_blur_case(sharp8, psf, noise)
+        in_err = float(
+            np.linalg.norm(blurred / 255.0 - want) / np.linalg.norm(want)
+        )
+        in_ssim = float(ssim(blurred / 255.0, want))
+        try:
+            out = deblur_module(
+                blurred, f"success-{name}", None,
+                blur_width=psf.shape[0],
+                tolerance=0.1, quality="normal",
+                iterations=iterations, display=False, preview=False,
+                verbose=False, solver=solver, **mask_kw,
+            )
+            err = rel_error(out, sharp8)
+            out_ssim = float(ssim(np.asarray(out, np.float64) / 65535.0, want))
+        except RuntimeError as e:  # a diverged solve is a failed case
+            report(f"[success] {name:<16} DIVERGED: {e}")
+            rows.append((name, in_err, float("inf"), in_ssim, 0.0, False))
+            continue
+        success = err < 0.05 and out_ssim > in_ssim
+        rows.append((name, in_err, err, in_ssim, out_ssim, success))
+        report(
+            f"[success] {name:<16} err {in_err * 100:5.2f}% -> "
+            f"{err * 100:5.2f}%  ssim {in_ssim:.4f} -> {out_ssim:.4f}  "
+            f"{'SUCCESS' if success else 'fail'}"
+        )
+    rate = sum(r[-1] for r in rows) / len(rows)
+    report(
+        f"[success] rate: {sum(r[-1] for r in rows)}/{len(rows)} "
+        f"= {rate * 100:.0f}%  (reference claim: >50%, ref README.md:146-148)"
+    )
+    return rate, rows

@@ -83,3 +83,65 @@ def test_pipeline_trace_stages(capsys):
                   verbose=True, trace=True)
     out = capsys.readouterr().out
     assert "stage profile" in out and "solve (non-blind)" in out
+
+
+# ---- blind-restoration success harness (bench.py --success-rate) --------
+# The measured battery itself runs on TPU via bench.py; these tests pin the
+# harness MACHINERY (battery construction, forward model, metric) on CPU.
+
+
+def test_success_battery_construction():
+    from ics_tpu.utils.selftest import make_success_battery
+
+    battery = make_success_battery()
+    assert len(battery) == 10
+    names = [n for n, _, _ in battery]
+    assert len(set(names)) == 10
+    for name, psf, noise in battery:
+        assert psf.ndim == 2 and psf.shape[0] == psf.shape[1]
+        assert psf.shape[0] % 2 == 1 and psf.shape[0] >= 3  # pipeline rule
+        assert abs(float(psf.sum()) - 1.0) < 1e-5
+        assert float(psf.min()) >= 0.0
+        assert noise >= 0.0
+
+
+def test_success_synth_and_metric():
+    from ics_tpu.utils.selftest import (
+        _sharp_crop,
+        make_success_battery,
+        rel_error,
+        synth_blur_case,
+    )
+
+    sharp = _sharp_crop(96)
+    assert sharp.shape == (96, 96, 3) and sharp.dtype == np.uint8
+    assert np.array_equal(sharp, _sharp_crop(96))  # deterministic crop
+    _, psf, _ = make_success_battery()[0]
+    blurred = synth_blur_case(sharp, psf, 0.0)
+    assert blurred.shape == sharp.shape and blurred.dtype == np.uint8
+    assert np.array_equal(blurred, synth_blur_case(sharp, psf, 0.0))
+    noisy = synth_blur_case(sharp, psf, 1.0)
+    assert not np.array_equal(noisy, blurred)
+    # blur must actually degrade; identity scores ~zero error
+    ident16 = (sharp.astype(np.float64) / 255.0 * 65535.0).round()
+    assert rel_error(ident16, sharp) < 2e-4
+    assert rel_error(blurred.astype(np.float64) * 257.0, sharp) > 0.005
+
+
+def test_success_case_end_to_end_machinery():
+    from ics_tpu import deblur_module
+    from ics_tpu.utils.selftest import (
+        _sharp_crop,
+        rel_error,
+        synth_blur_case,
+    )
+    from ics_tpu.ops.windows import uniform_kernel
+
+    sharp = _sharp_crop(96)
+    blurred = synth_blur_case(sharp, uniform_kernel(5), 0.0)
+    out = deblur_module(
+        blurred, "success-machinery", None, blur_width=5, mask_size=63,
+        iterations=2, display=False, preview=False, verbose=False,
+    )
+    assert out.shape == sharp.shape and out.dtype == np.uint16
+    assert np.isfinite(rel_error(out, sharp))
