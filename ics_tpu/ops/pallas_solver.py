@@ -98,8 +98,17 @@ def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
 
             return lambda init: lax.fori_loop(0, C * mk * mk, body, init)
 
-        psf_foreach(lambda c, a, b, _: (psf_out.__setitem__((c, a, b),
-                                                            psf_ref[c, a, b]), 0)[1])(0)
+        def copy_k0(c, a, b, cur):
+            v = psf_ref[c, a, b]
+            psf_out[c, a, b] = v
+            return jnp.maximum(cur, v)
+
+        # working-psf copy + iteration 0's k_max (max tap) in ONE sweep;
+        # later iterations carry k_max out of the normalization sweep —
+        # exact: round-to-nearest is monotone, so the max of the rounded
+        # quotients equals the rounded quotient of the max, and max itself
+        # is order-insensitive (same argument as the unrolled body).
+        k0 = psf_foreach(copy_k0)(f32(-3.4e38))
 
         def _roll_up(a):
             # shift rows up by one (static slices — Mosaic rejects dynamic
@@ -169,8 +178,14 @@ def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
             u_ref[c] = u_c
             u_ref[c, pad : pad + m, pad : pad + n] = blended
 
-        def refine_psf():
-            """9. blind PSF refinement (ref :555-589)."""
+        def refine_psf(k_max):
+            """9. blind PSF refinement (ref :555-589).  ``k_max`` is the
+            max over the (normalized) working-psf taps, carried from the
+            previous normalization sweep (iteration 0: the copy sweep) —
+            this and the fused step/clamp/sum and divide/max sweeps cut
+            the sequential scalar-core chain from 5 tap sweeps per inner
+            iteration to 2-3, same values in the same accumulation
+            order."""
 
             # post-update residual, reused for the whiteness metric
             for c in range(C):
@@ -197,61 +212,75 @@ def _make_kernel(m, n, u_m, u_n, mk, *, blind, correlation):
             for c in range(C):
                 gk_max = jnp.maximum(gk_max, gradk_channel(c))
 
-            k_max = psf_foreach(
-                lambda c, a, b, cur: jnp.maximum(cur, psf_out[c, a, b])
-            )(f32(-3.4e38))
             dtpsf = (step_factor / mk) * (k_max + inv_un / C) / (gk_max + 1e-15)
 
-            # gradient step (ref :577-581), through the working SMEM psf
-            psf_foreach(
-                lambda c, a, b, _: (
-                    psf_out.__setitem__(
-                        (c, a, b), psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b]
-                    ),
-                    0,
-                )[1]
-            )(0)
+            if correlation:
+                # gradient step stays its own sweep — the channel tie
+                # reads all three STEPPED taps (ref :577-585)
+                psf_foreach(
+                    lambda c, a, b, _: (
+                        psf_out.__setitem__(
+                            (c, a, b),
+                            psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b],
+                        ),
+                        0,
+                    )[1]
+                )(0)
 
-            if correlation:  # tie channels (ref :584-585)
-                def tie(r, _):
+                # tie + clamp + per-channel sums in one sweep: after the
+                # tie every channel holds the same value, and each
+                # channel's total still accumulates the same clamped taps
+                # in the same (a, b) order as separate per-channel passes
+                def tie_sum(r, tots):
                     a, b = r // mk, r % mk
                     mean = (
                         psf_out[0, a, b] + psf_out[1, a, b] + psf_out[2, a, b]
                     ) / 3.0
+                    v = jnp.maximum(mean, 0.0)
                     for c in range(C):
-                        psf_out[c, a, b] = mean
-                    return 0
+                        psf_out[c, a, b] = v
+                    return tuple(t + v for t in tots)
 
-                lax.fori_loop(0, mk * mk, tie, 0)
+                totals = lax.fori_loop(
+                    0, mk * mk, tie_sum, (f32(0.0),) * C
+                )
+            else:
+                # gradient step + clamp + channel sum fused (ref :577-581
+                # then :47-70's clamp/sum — identical values and order)
+                def chan_step_sum(c):
+                    def body(r, tot):
+                        a, b = r // mk, r % mk
+                        v = jnp.maximum(
+                            psf_out[c, a, b] - dtpsf * gradk_ref[c, a, b],
+                            0.0,
+                        )
+                        psf_out[c, a, b] = v
+                        return tot + v
 
-            # clamp + per-channel normalization (ref :47-70)
-            def norm_chan(c, _):
-                def clamp_sum(r, tot):
+                    return lax.fori_loop(0, mk * mk, body, f32(0.0))
+
+                totals = tuple(chan_step_sum(c) for c in range(C))
+
+            # normalization divide + next iteration's k_max in one sweep
+            k_next = f32(-3.4e38)
+            for c in range(C):
+                def div_body(r, cur, c=c, tot=totals[c]):
                     a, b = r // mk, r % mk
-                    v = jnp.maximum(psf_out[c, a, b], 0.0)
-                    psf_out[c, a, b] = v
-                    return tot + v
+                    q = psf_out[c, a, b] / tot
+                    psf_out[c, a, b] = q
+                    return jnp.maximum(cur, q)
 
-                total = lax.fori_loop(0, mk * mk, clamp_sum, f32(0.0))
+                k_next = lax.fori_loop(0, mk * mk, div_body, k_next)
+            return k_next
 
-                def divide(r, _):
-                    a, b = r // mk, r % mk
-                    psf_out[c, a, b] = psf_out[c, a, b] / total
-                    return 0
-
-                lax.fori_loop(0, mk * mk, divide, 0)
-                return 0
-
-            lax.fori_loop(0, C, norm_chan, 0)
-
-        def inner_iteration(_, carry):
+        def inner_iteration(_, k_max):
             for c in range(C):
                 minimize_channel(c)
             if blind:
-                refine_psf()
-            return carry
+                k_max = refine_psf(k_max)
+            return k_max
 
-        lax.fori_loop(0, _INNER_ITER, inner_iteration, 0)
+        lax.fori_loop(0, _INNER_ITER, inner_iteration, k0)
         u_out[...] = u_ref[...]
 
     return kernel
