@@ -25,6 +25,7 @@ from ics_tpu.utils.filters import (
     USM,
     overlay,
     blending,
+    convolve,
 )
 from ics_tpu.utils.color import (
     Lagrange_interpolation,
@@ -57,6 +58,7 @@ __all__ = [
     "USM",
     "overlay",
     "blending",
+    "convolve",
     "Lagrange_interpolation",
     "LABImage",
     "rgb_to_lab",

@@ -31,6 +31,7 @@ __all__ = [
     "USM",
     "overlay",
     "blending",
+    "convolve",
 ]
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
@@ -155,3 +156,31 @@ def blending(upx, lpx, type: str):
     """Dispatch blending modes (parity: ref lib/utils.py:291-300)."""
     types = {"overlay": overlay}
     return types[type](upx, lpx)
+
+
+def convolve(a, b, domain: str):
+    """General 2-D convolution with ``valid | same | full`` output domains —
+    the working counterpart of the reference's backup pyFFTW ``convolve``
+    (ref lib/utils.py:420-447, the "FFTW with saved wisdom" path its README
+    advertises at README.md:135-136).
+
+    Accepts (H, W) planes or (H, W, C) images (per-channel kernels as
+    (MK, NK, C), or (MK, NK) broadcast).  Output sizes match the reference's
+    domain table (ref lib/utils.py:430-439) and scipy.signal.convolve.  Note
+    the dead backup itself crops ``irfft2`` in the FREQUENCY domain, which
+    does not implement the centered same/valid crop its domain table
+    implies; like the undefined ``gaussian`` in ``bilateral_filter``, the
+    rebuild supplies the intended semantics (scipy-exact, property-tested in
+    tests/test_conv.py).  XLA replaces FFTW planning: the compiled program
+    per shape is the "saved wisdom".
+    """
+    if domain not in ("valid", "same", "full"):
+        # ref lib/utils.py:439 raises bare SyntaxError on unknown domains
+        raise ValueError(f"domain must be valid|same|full, got {domain!r}")
+    from ics_tpu.ops.conv import convolve_rgb
+
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if a.ndim == 2:
+        return convolve2d(a, b, mode=domain)
+    return convolve_rgb(a, b, mode=domain)

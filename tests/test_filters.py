@@ -114,3 +114,28 @@ def test_bilateral_tile_h_budget():
     assert need < 13 * 2**20
     # impossible budget -> None (callers fall back to the portable scan)
     assert bilateral_tile_h(4000, 6000, 5, budget=1024) is None
+
+
+@pytest.mark.parametrize("domain", ["valid", "same", "full"])
+def test_convolve_domains_match_scipy(domain):
+    # working counterpart of the reference's backup pyFFTW convolve
+    # (ref lib/utils.py:420-447): scipy-exact valid/same/full semantics
+    a = RNG.random((23, 29)).astype(np.float32)
+    b = RNG.random((5, 7)).astype(np.float32)
+    ours = np.asarray(filters.convolve(a, b, domain))
+    ref = sig.convolve(a, b, mode=domain)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_convolve_rgb_and_bad_domain():
+    a = RNG.random((17, 19, 3)).astype(np.float32)
+    b = RNG.random((3, 3)).astype(np.float32)
+    out = np.asarray(filters.convolve(a, b, "same"))
+    assert out.shape == a.shape
+    for c in range(3):
+        np.testing.assert_allclose(
+            out[..., c], sig.convolve(a[..., c], b, mode="same"), atol=3e-5
+        )
+    with pytest.raises(ValueError):
+        filters.convolve(a, b, "bogus")
