@@ -300,11 +300,13 @@ def main(argv=None) -> int:
                         "reference's dead TV(ut) branch, live; 'mm' solver "
                         "only)")
     p.add_argument("--tv-norm", default="channel",
-                   choices=["channel", "collab"],
+                   choices=["channel", "collab", "collab_l2"],
                    help="TV channel coupling with --use-tv: 'collab' = the "
                         "collaborative L^{inf,1,1} RGB norm + Cauchy prior "
                         "(ref README contribution; best for chromatic "
-                        "noise), 'channel' = decoupled per-channel")
+                        "noise), 'collab_l2' = the softer l2-color coupling "
+                        "from the same family, 'channel' = decoupled "
+                        "per-channel")
     p.add_argument("--inner-loop", default="auto",
                    choices=["auto", "xla", "pallas", "pallas_unrolled"],
                    help="solver inner-loop execution ('mm' solver): "

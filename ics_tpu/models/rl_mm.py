@@ -72,7 +72,13 @@ class RLConfig:
     #               (ops/tv.py::collab_sup), handcuffing the channels
     #               together for chromatic-noise removal.  Measured on the
     #               chroma-noise fixture: see PERFORMANCE.md and
-    #               tests/test_golden.py::test_collaborative_tv_chroma.
+    #               tests/test_golden.py::test_collaborative_tv_chroma;
+    #   'collab_l2' — the ℓ²-color coupling from the same collaborative
+    #               family (Duran et al.'s ℓ^{2,1,1} class; Blomgren &
+    #               Chan's color TV): channels normalized by the RMS of
+    #               the three magnitudes — a softer handcuff than the sup
+    #               (ops/tv.py::collab_l2), sitting between 'channel' and
+    #               'collab' on chromatic outliers.
     # The epsilon in the magnitude is the scale parameter of the Cauchy
     # distribution the sharp-image prior assumes for the gradients (ref
     # README.md:99-103; lib/deconvolution.pyx:430 annotates epsilon as
@@ -310,10 +316,15 @@ def _solve(
         "fast": lax.Precision.DEFAULT,
     }[conv_precision]
     conv = functools.partial(convolve_rgb, method=conv_method, precision=prec)
-    if tv_norm not in ("channel", "collab"):
-        raise ValueError(f"unknown tv_norm {tv_norm!r} (use 'channel' or 'collab')")
+    if tv_norm not in ("channel", "collab", "collab_l2"):
+        raise ValueError(
+            f"unknown tv_norm {tv_norm!r} (use 'channel', 'collab' or"
+            " 'collab_l2')"
+        )
     tvf = functools.partial(
-        tv_op_auto, method=tv_method, collab=(tv_norm == "collab")
+        tv_op_auto,
+        method=tv_method,
+        collab={"channel": False, "collab": "sup", "collab_l2": "l2"}[tv_norm],
     )
     if psf_grad == "auto":
         psf_grad_method = "pallas" if jax.default_backend() == "tpu" else "conv"

@@ -21,7 +21,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tv_op", "tv_op_auto", "collab_sup"]
+__all__ = ["tv_op", "tv_op_auto", "collab_sup", "collab_l2"]
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -50,9 +50,30 @@ def collab_sup(tv: jax.Array) -> jax.Array:
     return jnp.max(tv, axis=2, keepdims=True)
 
 
+def collab_l2(tv: jax.Array) -> jax.Array:
+    """ℓ²-over-color collaborative coupling of a per-channel TV magnitude.
+
+    The softer sibling of :func:`collab_sup` from the same collaborative-TV
+    family (Duran, Moeller, Sbert & Cremers, ipol.im/pub/art/2016/141 —
+    their ℓ^{2,1,1} class; the ℓ² color coupling goes back to
+    Blomgren & Chan's color TV): every channel is normalized by the
+    Euclidean mean of the three channel magnitudes instead of their
+    maximum.  Scaled by 1/sqrt(C) (root-MEAN-square, not root-sum) so that
+    on achromatic content — all channels equal — the coupled magnitude
+    equals the per-channel one, exactly like the sup coupling; the
+    couplings therefore differ from 'channel' mode ONLY on chromatic
+    outliers, where ℓ² charges an isolated single-channel spike
+    sqrt(1/3 + 2/3·(spike/base)²)·base — between the per-channel charge
+    and the sup's full-max charge.
+
+    Returns shape (H, W, 1), broadcastable against per-channel arrays.
+    """
+    return jnp.sqrt(jnp.mean(tv * tv, axis=2, keepdims=True))
+
+
 def tv_op_auto(
     u: jax.Array, epsilon: float, order: int = 2, norm: int = 1,
-    method: str = "auto", collab: bool = False,
+    method: str = "auto", collab: "bool | str" = False,
 ):
     """``tv_op`` with backend dispatch: 'pallas' = the VMEM band kernel
     (ops/pallas_tv.py; same math, hardware-certified bit-exact vs this
@@ -65,15 +86,19 @@ def tv_op_auto(
     single pass for the 11-read stencil, and the Pallas kernel's VMEM
     working set forces 8-16-row tiles at large widths (wider tiles fail
     Mosaic's compile — see ``tv_tile_h``), so **'auto' picks 'xla'**.
-    ``collab=True`` returns the collaborative L^{∞,1,1} magnitude
-    (:func:`collab_sup` of the per-channel magnitude, shape (H, W, 1))
-    instead of the per-channel one; the divergence is per-channel in both
-    cases.  The channel-sup is applied OUTSIDE the backend kernel (XLA
-    fuses the 3-lane max into the stencil's output write; for the Pallas
-    backend it is one extra fused elementwise pass), so both backends stay
-    bit-identical to each other under either norm."""
+    ``collab=True`` (or ``'sup'``) returns the collaborative L^{∞,1,1}
+    magnitude (:func:`collab_sup` of the per-channel magnitude, shape
+    (H, W, 1)) instead of the per-channel one; ``collab='l2'`` returns the
+    ℓ²-color-coupled magnitude (:func:`collab_l2`, same shape).  The
+    divergence is per-channel in every case.  The channel coupling is
+    applied OUTSIDE the backend kernel (XLA fuses the 3-lane max/rms into
+    the stencil's output write; for the Pallas backend it is one extra
+    fused elementwise pass), so both backends stay bit-identical to each
+    other under either norm."""
     if method not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown tv method {method!r}")
+    if collab not in (False, True, "sup", "l2"):
+        raise ValueError(f"unknown collab coupling {collab!r}")
     use_pallas = method == "pallas"  # 'auto' resolves to the measured winner, xla
     out = None
     if use_pallas:
@@ -92,7 +117,8 @@ def tv_op_auto(
         out = tv_op(u, epsilon, order, norm)
     if collab and u.ndim == 3 and u.shape[2] > 1:
         tv, div = out
-        out = (collab_sup(tv), div)
+        couple = collab_l2 if collab == "l2" else collab_sup
+        out = (couple(tv), div)
     return out
 
 

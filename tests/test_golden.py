@@ -352,12 +352,16 @@ def test_collaborative_tv_chroma(crops, tmp_path):
     were not reproducible; this protocol is bitwise process-stable).
 
     Measured (r4, pinned single CPU device, it=150, lambda=100):
-        input            SSIM 0.2601  PSNR 23.74  chromaPSNR 23.75
-        use_tv channel   SSIM 0.2616  PSNR 23.78  chromaPSNR 23.78
-        use_tv collab    SSIM 0.3033  PSNR 24.76  chromaPSNR 24.80
+        input             SSIM 0.2601  PSNR 23.74  chromaPSNR 23.75
+        use_tv channel    SSIM 0.2616  PSNR 23.78  chromaPSNR 23.78
+        use_tv collab     SSIM 0.3033  PSNR 24.76  chromaPSNR 24.80
+        use_tv collab_l2  SSIM 0.2976  PSNR 24.63  chromaPSNR 24.67
     collab wins all three metrics by fat margins (+0.042 SSIM, +1.0 dB);
     the same ordering held at lambda in {10, 30, 100} and it in {50, 150,
-    300}.  See PERFORMANCE.md "Collaborative TV".
+    300}.  The softer ℓ²-color coupling ('collab_l2', the Duran et al.
+    ℓ^{2,1,1} class) lands between 'channel' and 'collab' on every
+    metric — exactly where its per-pixel charge (RMS vs max over
+    channels) says it should.  See PERFORMANCE.md "Collaborative TV".
     """
     import subprocess
     import sys
@@ -380,7 +384,7 @@ delta = np.zeros((5, 5), np.float32); delta[2, 2] = 1.0
 psf = np.dstack([delta] * 3)
 u0 = np.pad(noisy, ((2, 2), (2, 2), (0, 0)), mode='edge')
 outs = {{'noisy': noisy, 'truth': truth}}
-for tvn in ('channel', 'collab'):
+for tvn in ('channel', 'collab', 'collab_l2'):
     r = richardson_lucy_MM(noisy, u0, psf, 0, 256, 0, 256, 1e9,
         iterations=150, blind=False, lambd=100.0, step_factor=1e-3,
         config=RLConfig(use_tv=True, tv_norm=tvn))
@@ -411,17 +415,25 @@ np.savez({str(out_npz)!r}, **outs)
     m_in = metrics(d["noisy"])
     m_ch = metrics(d["channel"])
     m_co = metrics(d["collab"])
-    # collab beats per-channel AND the input on SSIM, PSNR and the
-    # chroma-noise metric
+    m_l2 = metrics(d["collab_l2"])
+    # BOTH collaborative couplings beat per-channel AND the input on SSIM,
+    # PSNR and the chroma-noise metric
     for i in range(3):
         assert m_co[i] > m_ch[i], (i, m_co, m_ch)
         assert m_co[i] > m_in[i], (i, m_co, m_in)
+        assert m_l2[i] > m_ch[i], (i, m_l2, m_ch)
+        assert m_l2[i] > m_in[i], (i, m_l2, m_in)
     # the margins are structural, not noise: +0.04 SSIM, +0.9 dB measured
     assert m_co[0] >= m_ch[0] + 0.03, (m_co[0], m_ch[0])
     assert m_co[1] >= m_ch[1] + 0.8, (m_co[1], m_ch[1])
     assert m_co[2] >= m_ch[2] + 0.8, (m_co[2], m_ch[2])
+    # the l2 coupling's softer handcuff: +0.035/+0.85 dB over channel
+    # measured (0.2976/24.63/24.67), floors with platform-drift slack
+    assert m_l2[0] >= m_ch[0] + 0.025, (m_l2[0], m_ch[0])
+    assert m_l2[1] >= m_ch[1] + 0.7, (m_l2[1], m_ch[1])
     # absolute floors at the measured values (slack for platform drift)
     assert m_co[0] >= 0.295 and m_co[1] >= 24.6 and m_co[2] >= 24.6, m_co
+    assert m_l2[0] >= 0.29 and m_l2[1] >= 24.5 and m_l2[2] >= 24.5, m_l2
 
 
 def test_use_tv_golden_quality(crops, tmp_path):

@@ -126,10 +126,48 @@ def test_collab_sup_is_channel_max():
     np.testing.assert_allclose(np.asarray(ctv_p), np.asarray(ctv_x), atol=1e-6)
 
 
+def test_collab_l2_is_channel_rms():
+    """ℓ²-color collaborative coupling (collab='l2' — the Duran et al.
+    ℓ^{2,1,1} class / Blomgren-Chan color TV): the magnitude is the
+    per-pixel RMS over channels of the per-channel magnitude (1/sqrt(C)
+    scaling so achromatic content matches 'channel' mode); the divergence
+    stays per-channel."""
+    import jax.numpy as jnp
+
+    from ics_tpu.ops.tv import collab_l2, tv_op, tv_op_auto
+
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.random((32, 44, 3)), jnp.float32)
+    for order in (1, 2):
+        for norm in (1, 2):
+            tv, div = tv_op(u, 1e-3, order, norm)
+            ctv, cdiv = tv_op_auto(u, 1e-3, order, norm, collab="l2")
+            assert ctv.shape == (32, 44, 1)
+            np.testing.assert_allclose(
+                np.asarray(ctv)[..., 0],
+                np.sqrt(np.mean(np.asarray(tv) ** 2, axis=2)),
+                rtol=1e-6,
+            )
+            np.testing.assert_array_equal(np.asarray(cdiv), np.asarray(div))
+            np.testing.assert_array_equal(
+                np.asarray(collab_l2(tv)), np.asarray(ctv)
+            )
+    # the l2 coupling is bounded by the sup coupling and above the
+    # per-channel minimum: min_c tv <= rms_c tv <= max_c tv
+    tv, _ = tv_op(u, 1e-3)
+    ctv = np.asarray(collab_l2(tv))[..., 0]
+    tv = np.asarray(tv)
+    assert np.all(ctv <= np.max(tv, axis=2) + 1e-7)
+    assert np.all(ctv >= np.min(tv, axis=2) - 1e-7)
+    # unknown coupling rejected
+    with np.testing.assert_raises(ValueError):
+        tv_op_auto(u, 1e-3, collab="l3")
+
+
 def test_collab_equals_channel_on_achromatic():
-    """On a grayscale (identical-channel) image the channel-sup is a no-op:
-    the collaborative norm only changes behavior where channels disagree —
-    i.e. exactly on chromatic structure."""
+    """On a grayscale (identical-channel) image BOTH collaborative
+    couplings are no-ops: the collaborative norms only change behavior
+    where channels disagree — i.e. exactly on chromatic structure."""
     import jax.numpy as jnp
 
     from ics_tpu.ops.tv import tv_op, tv_op_auto
@@ -137,10 +175,11 @@ def test_collab_equals_channel_on_achromatic():
     rng = np.random.default_rng(12)
     g = np.repeat(rng.random((24, 24, 1)).astype(np.float32), 3, axis=2)
     tv, _ = tv_op(jnp.asarray(g), 1e-4)
-    ctv, _ = tv_op_auto(jnp.asarray(g), 1e-4, collab=True)
-    np.testing.assert_allclose(
-        np.asarray(ctv)[..., 0], np.asarray(tv)[..., 0], atol=1e-7
-    )
+    for coupling in (True, "l2"):
+        ctv, _ = tv_op_auto(jnp.asarray(g), 1e-4, collab=coupling)
+        np.testing.assert_allclose(
+            np.asarray(ctv)[..., 0], np.asarray(tv)[..., 0], atol=1e-7
+        )
 
 
 def test_solver_rejects_unknown_tv_norm():
