@@ -201,9 +201,11 @@ def deblur_module(
     passed).  ``tv_norm='collab'`` selects the collaborative L^{∞,1,1}
     RGB norm with the Cauchy gradient prior (ref README.md:99-103,
     113-114) — measured to dramatically improve chromatic-noise removal
-    (PERFORMANCE.md "Collaborative TV"); the default per-channel norm and
-    the parity mode (``use_tv=False``) are better on clean achromatic
-    content.
+    (PERFORMANCE.md "Collaborative TV"); ``tv_norm='collab_l2'`` is the
+    softer ℓ²-color (RMS) coupling from the same family, sitting between
+    'channel' and 'collab' on the measured chroma fixture; the default
+    per-channel norm and the parity mode (``use_tv=False``) are better on
+    clean achromatic content.
 
     ``psf_path`` / ``save_psf_path``: the PSF-reuse workflow the reference
     README *describes* but never implemented (ref README.md:131-133 "saving

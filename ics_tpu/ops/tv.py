@@ -63,8 +63,8 @@ def collab_l2(tv: jax.Array) -> jax.Array:
     equals the per-channel one, exactly like the sup coupling; the
     couplings therefore differ from 'channel' mode ONLY on chromatic
     outliers, where ℓ² charges an isolated single-channel spike
-    sqrt(1/3 + 2/3·(spike/base)²)·base — between the per-channel charge
-    and the sup's full-max charge.
+    sqrt(2/3 + 1/3·(spike/base)²)·base — the RMS of (spike, base, base)
+    — between the per-channel charge and the sup's full-max charge.
 
     Returns shape (H, W, 1), broadcastable against per-channel arrays.
     """
