@@ -5,9 +5,10 @@ Parity targets: reference lib/utils.py:303-312 (``save`` → 16-bit RGB TIFF)
 and the vendored ``lib/tifffile.py`` read/write stack (C12 in SURVEY.md §2).
 This environment has no ``tifffile`` package, so a self-contained TIFF
 implementation lives here: read classic TIFF and BigTIFF, strip or tile
-layout, uncompressed / PackBits / LZW, 8/16-bit, both byte orders, with
-horizontal-predictor support; write classic TIFF with optional LZW or
-PackBits compression; ``imread_sequence`` stacks a glob of files (the
+layout, uncompressed / PackBits / LZW / Deflate (zlib), 8/16-bit, both byte
+orders, with horizontal-predictor support; write classic TIFF with optional
+LZW, PackBits or Deflate compression; ``imread_sequence`` stacks a glob of
+files (the
 ``TiffSequence`` analog, ref lib/tifffile.py:4073).  Codecs dispatch to the
 native C++ library (``ics_tpu.runtime``, counterpart of the reference's
 hand-written lib/tifffile.c:432-658) when built, with byte-identical
@@ -148,6 +149,15 @@ def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
         if codecs.available() and codecs.has_encoders():
             return codecs.encode_packbits(data), 32773
         return _encode_packbits_py(data), 32773
+    if compression in ("deflate", "zip", "adobe_deflate", 8, 32946):
+        # Adobe Deflate (tag 8): a plain zlib stream (ref
+        # lib/tifffile.py:914, 5245 — TIFF.COMPRESSION ZIP/ADOBE_DEFLATE).
+        # The stdlib zlib module IS the native codec tier here (CPython's
+        # zlibmodule.c wraps the same C library libtiff uses), so no C++
+        # twin is needed the way the from-scratch LZW/PackBits coders are.
+        import zlib
+
+        return zlib.compress(data, 6), 8
     raise ValueError(f"unsupported compression {compression!r}")
 
 
@@ -283,8 +293,10 @@ def imsave(
 
     Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
     pages get SampleFormat 3, which our reader and libtiff both honor);
-    ``compression``: None | 'lzw' | 'packbits' (native C++ encoders when
-    built, pure-Python fallbacks otherwise).  ``description`` writes an
+    ``compression``: None | 'lzw' | 'packbits' | 'deflate' (= 'zip',
+    Adobe Deflate tag 8; LZW/PackBits use the native C++ encoders when
+    built, pure-Python fallbacks otherwise; Deflate is stdlib zlib).
+    ``description`` writes an
     ImageDescription tag (how ImageJ / OME metadata travel in TIFFs).
     """
     plan = _plan_page(arr, compression, description)
@@ -656,6 +668,12 @@ def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
         return _decode_packbits(seg, expected)
     if compression == 5:
         return _decode_lzw(seg, expected)
+    if compression in (8, 32946):
+        # 8 = Adobe Deflate, 32946 = legacy Deflate — both plain zlib
+        # streams (ref lib/tifffile.py:4988-5007 tag values, :5245 decoder)
+        import zlib
+
+        return zlib.decompress(seg)[:expected]
     raise NotImplementedError(f"TIFF compression {compression}")
 
 
