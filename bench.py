@@ -224,7 +224,7 @@ def main():
         print(json.dumps({
             "metric": "blind-restoration success rate (restored rel-L2 "
                       "error < 5% vs sharp original AND SSIM improved, "
-                      "10-case synthetic battery)",
+                      "12-case synthetic battery incl. motion blurs)",
             "value": rate,
             "unit": "fraction",
             "vs_baseline": round(rate / 0.5, 2),  # ref claim: >50%

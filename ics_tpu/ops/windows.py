@@ -17,6 +17,7 @@ __all__ = [
     "poisson_kernel",
     "disc_blur",
     "lens_blur",
+    "motion_kernel",
     "gaussian_weight",
 ]
 
@@ -71,6 +72,39 @@ def lens_blur(size: float) -> np.ndarray:
     """Normalized outer product of the disc profile (ref lib/utils.py:139)."""
     window = disc_blur(size)
     kern = np.outer(window, window)
+    return kern / kern.sum()
+
+
+def motion_kernel(size: int, angle_deg: float = 0.0) -> np.ndarray:
+    """Linear-motion PSF: an anti-aliased line segment through the kernel
+    center at ``angle_deg``, normalized to sum 1.
+
+    The reference names a motion-blur mode (``blur="motion"`` →
+    ``correlation=True``, ref deconvolve.py:154-157; the solver then forces
+    the refined PSF achromatic, ref lib/deconvolution.pyx:584-585) but ships
+    no generator for the PSF class that mode targets; this is that
+    generator, used by the blind-restoration success battery's motion
+    cases (``utils.selftest.make_success_battery``).
+
+    Anti-aliasing is bilinear splatting of a supersampled segment — the
+    standard rasterization, so 0°/90° reduce to an exact 1-pixel line.
+    """
+    if size < 3 or size % 2 == 0:
+        raise ValueError("motion kernel size must be odd and >= 3")
+    c = (size - 1) / 2.0
+    theta = np.deg2rad(angle_deg)
+    dx, dy = np.cos(theta), np.sin(theta)
+    kern = np.zeros((size, size), dtype=np.float64)
+    # dense samples along the segment; bilinear splat each one
+    for t in np.linspace(-c, c, 16 * size):
+        y, x = c + t * dy, c + t * dx
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - y0, x - x0
+        for oy, wy in ((0, 1.0 - fy), (1, fy)):
+            for ox, wx in ((0, 1.0 - fx), (1, fx)):
+                yy, xx = y0 + oy, x0 + ox
+                if 0 <= yy < size and 0 <= xx < size:
+                    kern[yy, xx] += wy * wx
     return kern / kern.sum()
 
 

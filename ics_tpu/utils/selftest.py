@@ -462,6 +462,12 @@ def make_success_battery(noise_sigma: float = 1.0):
         ("gauss-7", windows.gaussian_kernel(7, 2.0), 0.0),
         ("uniform-7-noise", windows.uniform_kernel(7), noise_sigma),
         ("fitted-7-noise", fitted, noise_sigma),
+        # linear-motion PSFs: names prefixed "motion" make
+        # bench_success_rate drive blur="motion" (the reference's
+        # correlation=True mode, ref deconvolve.py:154-157 /
+        # lib/deconvolution.pyx:584-585)
+        ("motion-7-h", windows.motion_kernel(7, 0.0), 0.0),
+        ("motion-9-45", windows.motion_kernel(9, 45.0), 0.0),
     ]
 
 
@@ -544,6 +550,9 @@ def bench_success_rate(
     want = np.asarray(sharp8, np.float64) / 255.0
     rows = []
     for name, psf, noise in make_success_battery():
+        # motion-* cases run the reference's blur="motion" mode
+        # (correlation=True: achromatic PSF refinement)
+        blur = "motion" if name.startswith("motion") else "static"
         blurred = synth_blur_case(sharp8, psf, noise)
         in_err = float(
             np.linalg.norm(blurred / 255.0 - want) / np.linalg.norm(want)
@@ -552,7 +561,7 @@ def bench_success_rate(
         try:
             out = deblur_module(
                 blurred, f"success-{name}", None,
-                blur_width=psf.shape[0],
+                blur_width=psf.shape[0], blur=blur,
                 tolerance=0.1, quality="normal",
                 iterations=iterations, display=False, preview=False,
                 verbose=False, solver=solver, **mask_kw,

@@ -388,3 +388,38 @@ def test_solver_conv_precision_high():
         richardson_lucy_MM(
             img, u, psf, 0, 32, 0, 32, 0.1, iterations=2, blind=False,
             config=RLConfig(conv_precision="bogus"))
+
+
+def test_nonblind_deconvolution_improves_known_motion_blur():
+    """Same sanity bar as the gaussian case, for the linear-motion PSF class
+    (the blur='motion' mode's target, ref deconvolve.py:154-157): given the
+    true motion PSF, deconvolution must move the image toward sharp."""
+    import scipy.signal as sig
+
+    from ics_tpu.ops.windows import motion_kernel
+
+    mk = 7
+    pad = mk // 2
+    k = motion_kernel(mk, 45.0).astype(np.float32)
+    sharp = RNG.random((49, 49, 3)).astype(np.float32)
+    sharp_s = np.stack(
+        [sig.convolve(sharp[..., c], gaussian_kernel(9, 2.0), mode="same") for c in range(3)],
+        axis=-1,
+    ).astype(np.float32)
+    sharp_s = np.clip(sharp_s, 0.05, 0.95)
+    padded = np.pad(sharp_s, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    blurry = np.stack(
+        [sig.convolve(padded[..., c], k, mode="valid") for c in range(3)], axis=-1
+    ).astype(np.float32)
+
+    u0 = np.pad(blurry, ((pad, pad), (pad, pad), (0, 0)), mode="edge").astype(np.float32)
+    psf = np.dstack([k] * 3).astype(np.float32)
+    m = blurry.shape[0]
+    res = richardson_lucy_MM(
+        blurry, u0, psf, pad + 1, m - pad - 1, pad + 1, m - pad - 1,
+        tau=1.0, iterations=30, step_factor=5e-3, lambd=1000.0, blind=False,
+    )
+    out = np.asarray(res.u)
+    err_before = np.mean((blurry - sharp_s) ** 2)
+    err_after = np.mean((out - sharp_s) ** 2)
+    assert err_after < err_before

@@ -59,3 +59,22 @@ def test_all_kernels_normalized():
     ):
         np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-9)
         assert (k >= 0).all()
+
+
+def test_motion_kernel():
+    # 0 deg: exactly the center row, near-uniform along it
+    k = windows.motion_kernel(7, 0.0)
+    assert k.shape == (7, 7)
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-9)
+    assert (k[[0, 1, 2, 4, 5, 6], :] == 0).all()
+    assert (k[3, :] > 0).all()
+    # 90 deg = transpose of 0 deg (sampling is symmetric in x/y)
+    np.testing.assert_allclose(windows.motion_kernel(7, 90.0), k.T, atol=1e-12)
+    # 45 deg: symmetric about the diagonal, mass concentrated on it
+    k45 = windows.motion_kernel(9, 45.0)
+    np.testing.assert_allclose(k45, k45.T, atol=1e-12)
+    assert np.trace(k45) > 0.5
+    with pytest.raises(ValueError):
+        windows.motion_kernel(6)
+    with pytest.raises(ValueError):
+        windows.motion_kernel(1)
