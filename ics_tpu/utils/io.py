@@ -619,6 +619,7 @@ _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_COLOR_MAP = 320
 _CZ_LSMINFO = 34412  # Zeiss LSM private tag (first IFD only)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -920,8 +921,9 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     compression = values(_COMPRESSION, [1])[0]
     predictor = values(_PREDICTOR, [1])[0]
     planar = values(_PLANAR_CONFIG, [1])[0]
-    if planar != 1:
-        raise NotImplementedError("planar TIFF not supported")
+    photometric = values(_PHOTOMETRIC, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     if predictor not in (1, 2):
         # e.g. 3 = floating-point differencing; silently skipping it would
         # return garbage pixels
@@ -935,9 +937,11 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     dtype = np.dtype(en + code)
 
     if memmap:
-        if _TILE_OFFSETS in tags or compression != 1 or predictor != 1:
+        if (_TILE_OFFSETS in tags or compression != 1 or predictor != 1
+                or planar != 1):
             raise ValueError(
-                "memmap requires an uncompressed, unpredicted strip layout"
+                "memmap requires an uncompressed, unpredicted, chunky "
+                "(PlanarConfiguration=1) strip layout"
             )
         native = {"little": "<", "big": ">"}[sys.byteorder]
         if dtype.itemsize > 1 and dtype.byteorder not in ("=", "|", native):
@@ -957,6 +961,61 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
         shape = (height, width, spp) if spp > 1 else (height, width)
         return np.memmap(
             path, dtype=dtype, mode="r", offset=offsets[0], shape=shape
+        )
+
+    def apply_palette(arr):
+        """Palette-color (TIFF 6.0 §5): pixels are indices into the 16-bit
+        ColorMap (3 x 2^bps entries, all R then all G then all B — ref
+        lib/tifffile.py COLORMAP handling).  Returns RGB uint16, the
+        reference stack's apply-colormap semantics."""
+        cmap = values(_COLOR_MAP)
+        if cmap is None:
+            raise ValueError("palette TIFF (photometric 3) without ColorMap")
+        idx = arr if arr.ndim == 2 else arr[..., 0]
+        cm = np.asarray(cmap, np.uint16).reshape(3, 1 << bps)
+        return np.stack([cm[0][idx], cm[1][idx], cm[2][idx]], axis=-1)
+
+    if planar == 2:
+        # PlanarConfiguration=2 (TIFF 6.0 §14): each sample's rows are
+        # stored in their own strip series — all of sample 0's strips,
+        # then sample 1's, ... (ref lib/tifffile.py's planarconfig
+        # SEPARATE path).  Horizontal differencing applies per plane.
+        if _TILE_OFFSETS in tags:
+            raise NotImplementedError("planar tiled TIFF not supported")
+        rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+        offsets = values(_STRIP_OFFSETS)
+        counts = values(_STRIP_BYTE_COUNTS)
+        strips_per_plane = -(-height // rows_per_strip)
+        if len(offsets) != strips_per_plane * spp:
+            raise ValueError(
+                "planar TIFF strip count %d != %d planes x %d strips"
+                % (len(offsets), spp, strips_per_plane)
+            )
+        row_bytes = width * (bps // 8)
+        planes = np.empty((spp, height, width), dtype=dtype)
+        for s in range(spp):
+            row = 0
+            for k in range(strips_per_plane):
+                off = offsets[s * strips_per_plane + k]
+                cnt = counts[s * strips_per_plane + k]
+                nrows = min(rows_per_strip, height - row)
+                decoded = _decode_segment(
+                    raw[off : off + cnt], nrows * row_bytes, compression
+                )
+                rows = np.frombuffer(decoded, dtype=dtype).reshape(
+                    nrows, width
+                )
+                if predictor == 2:
+                    rows = _undo_predictor(
+                        rows.reshape(nrows, width, 1).astype(dtype).copy()
+                    ).reshape(nrows, width)
+                planes[s, row : row + nrows] = rows
+                row += nrows
+        arr = np.moveaxis(planes, 0, -1) if spp > 1 else planes[0]
+        if photometric == 3:
+            return apply_palette(arr)
+        return np.ascontiguousarray(
+            arr.astype(dtype.newbyteorder("="), copy=False)
         )
 
     out = np.empty((height, width * spp), dtype=dtype)
@@ -1003,6 +1062,8 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
             row += nrows
 
     arr = out.reshape(height, width, spp) if spp > 1 else out.reshape(height, width)
+    if photometric == 3:
+        return apply_palette(arr)
     # copy=False: skip the redundant 144 MB copy for the common
     # native-order case (only opposite-endian files pay the byteswap)
     return arr.astype(dtype.newbyteorder("="), copy=False)

@@ -788,3 +788,105 @@ def test_deflate_with_horizontal_predictor(tmp_path):
     open(path, "wb").write(blob)
 
     np.testing.assert_array_equal(io.imread(path), arr)
+
+
+def test_palette_tiff_reads_as_rgb(tmp_path):
+    """Palette-color TIFF (photometric 3 + ColorMap, TIFF 6.0 §5 — ref
+    lib/tifffile.py COLORMAP handling): indices expand through the 16-bit
+    color map to RGB uint16.  Cross-validated against PIL's own palette
+    file and its RGB expansion."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 256, (40, 57), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    im = Image.fromarray(idx, mode="P")
+    im.putpalette(pal.flatten().tolist())
+    p = str(tmp_path / "pal.tif")
+    im.save(p)
+
+    got = io.imread(p)
+    assert got.dtype == np.uint16 and got.shape == (40, 57, 3)
+    with Image.open(p) as back:
+        want8 = np.asarray(back.convert("RGB"))
+    # TIFF color maps are 16-bit; PIL widens its 8-bit palette by <<8 on
+    # the wire, so our palette-applied RGB is PIL's RGB expansion * 256
+    np.testing.assert_array_equal(got, want8.astype(np.uint16) * 256)
+    # and the direct mapping: every pixel is its index's palette entry
+    np.testing.assert_array_equal(
+        got >> 8, pal.astype(np.uint16)[idx]
+    )
+
+
+def _craft_planar_tiff(path, planes, rows_per_strip):
+    """Minimal classic-TIFF writer with PlanarConfiguration=2: all of
+    sample 0's strips, then sample 1's, ... (TIFF 6.0 §14)."""
+    spp, h, w = planes.shape
+    itemsize = planes.dtype.itemsize
+    strips_per_plane = -(-h // rows_per_strip)
+    data = bytearray()
+    offsets, counts = [], []
+    data_start = 8
+    for s in range(spp):
+        for k in range(strips_per_plane):
+            seg = planes[s, k * rows_per_strip:(k + 1) * rows_per_strip]
+            b = seg.astype("<" + planes.dtype.str[1:]).tobytes()
+            offsets.append(data_start + len(data))
+            counts.append(len(b))
+            data.extend(b)
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + fmt * len(vals), *vals)
+        if len(packed) <= 4:
+            return struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\0"), b""
+        return None, packed  # caller patches offset
+
+    ifd_off = data_start + len(data)
+    tags = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8 * itemsize] * spp),
+        (259, 3, [1]), (262, 3, [2 if spp == 3 else 1]),
+        (273, 4, offsets), (277, 3, [spp]), (278, 3, [rows_per_strip]),
+        (279, 4, counts), (284, 3, [2]),
+    ]
+    # two-pass: inline what fits, append the rest after the IFD
+    body = b""
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * len(tags) + 4
+    for tag, typ, vals in sorted(tags):
+        inline, overflow = entry(tag, typ, vals)
+        if inline is not None:
+            body += inline
+        else:
+            body += struct.pack("<HHII", tag, typ, len(vals),
+                                extra_base + len(extra))
+            extra.extend(overflow)
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", ifd_off))
+        f.write(bytes(data))
+        f.write(struct.pack("<H", len(tags)) + body + b"\0\0\0\0")
+        f.write(bytes(extra))
+
+
+def test_planar_configuration_2_reads(tmp_path):
+    """PlanarConfiguration=2 strip reads (TIFF 6.0 §14 — the reference's
+    vendored stack reads separate-plane files; ours now does too),
+    cross-validated against PIL where PIL can decode it."""
+    from PIL import Image
+
+    rng = np.random.default_rng(12)
+    want = rng.integers(0, 255, (33, 46, 3), dtype=np.uint8)
+    planes = np.moveaxis(want, -1, 0).copy()
+    p = str(tmp_path / "planar.tif")
+    _craft_planar_tiff(p, planes, rows_per_strip=10)
+
+    got = io.imread(p)
+    np.testing.assert_array_equal(got, want)
+    with Image.open(p) as im:  # PIL/libtiff agrees on our crafted file
+        np.testing.assert_array_equal(np.asarray(im), want)
+
+    # 16-bit single-strip-per-plane variant
+    want16 = rng.integers(0, 65535, (21, 17, 3), dtype=np.uint16)
+    q = str(tmp_path / "planar16.tif")
+    _craft_planar_tiff(q, np.moveaxis(want16, -1, 0).copy(), rows_per_strip=21)
+    np.testing.assert_array_equal(io.imread(q), want16)
