@@ -25,6 +25,19 @@ def _cmd_deblur(args) -> int:
     if args.blur_width is None and args.psf is None:
         raise SystemExit("deblur: either --blur-width or --psf is required")
 
+    if args.profile == "fast":
+        # one-flag speed profile (VERDICT r4 item 9): the measured opt-in
+        # ladder's quality-gated rungs in one decision — each component
+        # only fills in when the user left the individual flag untouched,
+        # so explicit flags still win.  Quality/speed rows:
+        # docs/PERFORMANCE.md "Fast profile".
+        if args.blind_budget is None:
+            args.blind_budget = 25
+        if args.early_stop == 0.0:
+            args.early_stop = 1e-3
+        if args.precision == "exact":
+            args.precision = "high"
+
     mesh = None
     if args.shard:
         import jax
@@ -334,6 +347,15 @@ def main(argv=None) -> int:
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="tile the full-frame non-blind solves by rows over "
                         "the first N devices (GSPMD halo exchange over ICI)")
+    p.add_argument("--profile", default="quality",
+                   choices=["quality", "fast"],
+                   help="one-flag speed/quality trade: 'quality' (default) "
+                        "= reference-parity everything; 'fast' = the "
+                        "measured quality-gated ladder in one decision "
+                        "(--blind-budget 25 + --early-stop 1e-3 + "
+                        "--precision high).  Individual flags you pass "
+                        "explicitly still override the profile; measured "
+                        "rows in docs/PERFORMANCE.md 'Fast profile'")
     p.add_argument("--suffix", default="-deblurred")
     p.set_defaults(fn=_cmd_deblur)
 
