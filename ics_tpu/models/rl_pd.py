@@ -12,9 +12,11 @@ Solves  min_u ½‖k∗u − f‖² + λ·‖∇u‖₁  with the gradient opera
   ū  ← 2u − u_prev                                   (extrapolation)
 
 The data-term prox inverts the convolution exactly in the Fourier domain
-(circular boundary; the caller edge-pads to suppress wrap-around ringing —
-same free-boundary trick as the pipeline's ``pad_image``, ref
-deconvolve.py:24-37).  Blind mode alternates a PSF gradient step with
+(circular boundary; ``_edgetaper`` blends the borders toward the
+circularly-blurred image first — MATLAB ``edgetaper``'s construction —
+so the wrap seam no longer drives the solve; the caller's edge pad, ref
+deconvolve.py:24-37, remains as the outer free-boundary trick).  Blind
+mode alternates a PSF gradient step with
 simplex projection, as in TV-PAM.  Everything is one jitted XLA program:
 FFTs, the dual update, and the whiteness stop all live in the
 ``lax.while_loop`` body on-chip.
@@ -41,23 +43,30 @@ _INNER_ITER = 5
 
 @dataclasses.dataclass(frozen=True)
 class PDConfig:
-    """Chambolle-Pock parameters.  Defaults are the measured winner of the
-    r4 (λ_tv × step) grid on the golden blind-deblur protocol (12 configs,
-    tests/test_golden.py::test_pam_pd_quality_bars): SSIM 0.8978 /
-    PSNR 34.01 vs the old (1e-3, 1/√8) defaults' 0.8909 / 33.62.  Any
-    σ·τ·8 ≤ 1 converges (L² = 8 for the gradient operator); the small
-    equal steps trade per-iteration progress for a stabler whiteness-stop
-    trajectory.  Characterized limitation: PD's exact Fourier data prox
-    recovers structure (SSIM above the blurred input) but amplifies the
-    input's compression noise — its PSNR stays ~1.2 dB BELOW the blurred
-    input at every grid point (raising λ_tv recovers PSNR only by
-    over-smoothing: 0.8645/34.29 at λ=1e-2).  The PSNR regression is
-    asserted explicitly in the golden test."""
+    """Chambolle-Pock parameters.  Defaults are the measured winner of
+    the r4 (λ_tv × step) grid, re-confirmed by the r5 grid re-run WITH
+    the edgetaper (8 configs, golden blind-deblur protocol,
+    tests/test_golden.py::test_pam_pd_quality_bars): SSIM 0.9033 /
+    PSNR 36.12; the grid plateaus at 0.8986-0.9033 so (1e-4, 0.05)
+    stays on top.  Any σ·τ·8 ≤ 1 converges (L² = 8 for the gradient
+    operator); the small equal steps trade per-iteration progress for a
+    stabler whiteness-stop trajectory.
+
+    ``edgetaper`` (default on, r5) blends the borders toward the
+    circularly-blurred image before the Fourier data prox
+    (``_edgetaper``); it lifted PD from 0.8978 / **34.01** (PSNR below
+    the 35.24 blurred input — the r4-documented regression, caused by
+    the wrap seam aliasing through the circular prox) to 0.9033 /
+    **36.12**, above the input on both metrics.  Remaining
+    characterized limitation: the exact prox still amplifies the JPEG
+    input's compression noise, which caps the grid at ~0.903 SSIM (the
+    r4-VERDICT 0.91 stretch bar is a measured negative result)."""
 
     lambda_tv: float = 1e-4  # TV weight
     sigma: float = 0.05  # dual step
     tau: float = 0.05  # primal step
     theta: float = 1.0  # extrapolation
+    edgetaper: bool = True  # taper borders toward k∗f before the FFT prox
 
 
 def _grad(u):
@@ -70,6 +79,48 @@ def _grad(u):
 def _div(py, px):
     """Adjoint: -grad^T. div at (i,j) = py[i]-py[i-1] + px[j]-px[j-1]."""
     return (py - jnp.roll(py, 1, axis=0)) + (px - jnp.roll(px, 1, axis=1))
+
+
+def _edgetaper(image, psf, otf):
+    """Blur-weighted boundary blend ahead of the circular Fourier prox.
+
+    The data prox inverts a CIRCULAR forward model, so the jump between
+    the image's opposite borders aliases into ringing that a plain edge
+    pad only pushes outward (this module's r4 caveat; VERDICT r4 item 8).
+    The classic fix (MATLAB ``edgetaper``; Kundur & Hatzinakos' survey):
+    blend the observed image toward its own circular blur within a
+    PSF-support-wide band at each border,
+
+        J = α · f + (1 − α) · (k ∗_circ f),
+
+    where α is the separable window built from each axis' normalized PSF
+    projection autocorrelation — exactly 1 beyond the PSF support, so the
+    interior is untouched and only the wrap seam sees the blurred blend.
+    The tapered J is both the data term's f̂ and the residual target: the
+    model mismatch at the seam (where k∗u CANNOT match a discontinuous f)
+    no longer drives the solve.
+    """
+    m, n, _ = image.shape
+
+    def axis_alpha(size, proj):
+        # periodic autocorrelation of the projection at length size-1
+        # (MATLAB's construction), normalized; 1 − it is ≈0 at the border
+        # pixel and exactly 1 outside the 2·mk−1 support
+        z = jnp.fft.irfft(
+            jnp.abs(jnp.fft.rfft(proj, size - 1)) ** 2, size - 1
+        )
+        z = jnp.concatenate([z, z[:1]])
+        return 1.0 - z / jnp.max(z)
+
+    psf2 = jnp.mean(psf, axis=-1)
+    alpha = (
+        axis_alpha(m, jnp.sum(psf2, axis=1))[:, None]
+        * axis_alpha(n, jnp.sum(psf2, axis=0))[None, :]
+    )[..., None]
+    blurred = jnp.fft.irfft2(
+        otf * jnp.fft.rfft2(image, axes=(0, 1)), s=(m, n), axes=(0, 1)
+    ).astype(image.dtype)
+    return alpha * image + (1.0 - alpha) * blurred
 
 
 def _psf_otf(psf, m, n):
@@ -98,6 +149,7 @@ def _psf_otf(psf, m, n):
         "blind",
         "correlation",
         "use_stopping",
+        "edgetaper",
     ),
 )
 def _solve_pd(
@@ -120,10 +172,16 @@ def _solve_pd(
     blind,
     correlation,
     use_stopping=True,
+    edgetaper=True,
 ):
     m, n, _ = image.shape
     mk = psf.shape[0]
     f32 = jnp.float32
+    otf0 = _psf_otf(psf, m, n)
+    if edgetaper:
+        # taper with the INITIAL psf (blind mode refines it later, but the
+        # taper only needs the support width to kill the wrap seam)
+        image = _edgetaper(image, psf, otf0)
     f_hat = jnp.fft.rfft2(image, axes=(0, 1))
 
     def data_prox(v, otf):
@@ -217,7 +275,6 @@ def _solve_pd(
         *_, it, stop = state
         return jnp.logical_and(it < iterations, jnp.logical_not(stop))
 
-    otf0 = _psf_otf(psf, m, n)
     zeros = jnp.zeros_like(u0)
     state = (
         u0,
@@ -295,6 +352,7 @@ def richardson_lucy_PD(
         iterations=int(iterations),
         blind=bool(blind),
         correlation=bool(correlation),
+        edgetaper=bool(cfg.edgetaper),
     )
     stats = jnp.stack(
         [

@@ -153,18 +153,23 @@ def test_pam_pd_quality_bars(crops, tmp_path):
     golden value: PAM must land above the blurred input and the
     reference's published result, but below MM.
 
-    Measured (r3/r4, same protocol as the MM golden: blind, bw=5, 50 iters,
+    Measured (same protocol as the MM golden: blind, bw=5, 50 iters,
     single CPU device):
         input  SSIM 0.8844  PSNR 35.24
         MM     SSIM 0.9027  PSNR 35.93
         PAM    SSIM 0.8886  PSNR 35.63   <- close-but-below MM
-        PD     SSIM 0.8978  PSNR 34.01   <- r4-tuned defaults (was 0.8909/33.62)
-    PD's PSNR stays BELOW the blurred input at every point of the r4
-    (λ_tv × step) tuning grid — the exact Fourier data prox recovers
-    structure but amplifies the input's compression noise, and raising
-    λ_tv recovers PSNR only by over-smoothing (see PDConfig).  That
-    regression is asserted explicitly below as a documented
-    characterization, not masked by an SSIM-only bar.
+        PD     SSIM 0.9033  PSNR 36.12   <- r5, edgetaper (r4: 0.8978/34.01)
+    r4 had PD's PSNR pinned BELOW the blurred input (34.01 — the circular
+    Fourier data prox turned the border wrap seam into ringing that the
+    caller-side edge pad only pushed outward).  The r5 edgetaper
+    (rl_pd.py::_edgetaper — blur-weighted boundary blend, MATLAB
+    ``edgetaper``'s construction) erased that regression: PSNR is now
+    ABOVE the input and SSIM marginally above even the MM parity value.
+    The r5 (λ_tv × step) grid re-run plateaus at 0.8986-0.9033 with the
+    r4 winner (1e-4, 0.05) still on top — the VERDICT-r4 "PD ≥ 0.91"
+    stretch bar is NOT reached (documented negative result; the remaining
+    gap is the prox's noise amplification on the JPEG input, not the
+    boundary).
     """
     import subprocess
     import sys
@@ -208,11 +213,12 @@ np.save({str(out_npy)!r}, out)
     pd_ssim = ssim(outs["pd"], truth, data_range=1.0)
     pd_psnr = psnr(outs["pd"], truth, 1.0)
     assert pd_ssim > in_ssim, (pd_ssim, in_ssim)
-    assert pd_ssim >= 0.895, pd_ssim
-    # honest PSNR characterization: structure recovered, noise amplified —
-    # above the measured floor but (documented regression) below the input
+    assert pd_ssim >= 0.90, pd_ssim
+    # the r5 edgetaper erased the r4 PSNR-below-input regression: PD must
+    # now beat the blurred input on BOTH metrics (input PSNR 35.24)
     in_psnr = psnr(crops["blured"], truth, 1.0)  # 35.24
-    assert 33.9 <= pd_psnr < in_psnr, (pd_psnr, in_psnr)
+    assert pd_psnr > in_psnr, (pd_psnr, in_psnr)
+    assert pd_psnr >= 35.9, pd_psnr
 
 
 def test_deblur_early_stop_quality(crops, tmp_path):
@@ -496,3 +502,43 @@ np.save({str(out_npy)!r}, out)
         # use_tv ever BEATS parity here, the comment above is stale —
         # surface it rather than silently passing
         assert s <= 0.905, (tvn, s)
+
+
+def test_deblur_fast_profile_quality(crops, tmp_path):
+    """`deblur --profile fast` (VERDICT r4 item 9: the measured opt-in
+    ladder as ONE flag — blind-budget 25 + early-stop 1e-3 + precision
+    'high') must hold the same golden bars as the parity run.  Driven
+    through the real CLI in the pinned 1-device CPU protocol; off-TPU the
+    'high' conv split degrades to exact f32 (ops/conv.py::_dispatch), so
+    this gates the budget/early-stop components — the bf16x3 component's
+    24 MP quality is measured on hardware (docs/PERFORMANCE.md
+    "Fast profile")."""
+    import subprocess
+    import sys
+
+    out_dir = tmp_path / "fastprof"
+    out_dir.mkdir()
+    child = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from ics_tpu.cli import main
+main(['deblur', {os.path.join(IMG, 'crop-blured.jpg')!r}, {str(out_dir)!r},
+      '--blur-width', '5', '--mask', '275', '275', '--mask-size', '255',
+      '--tolerance', '0.1', '--iterations', '50', '--profile', 'fast'])
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+    from ics_tpu.utils.io import imread
+
+    out = imread(str(out_dir / "crop-blured-deblurred.tif"))
+    out = np.asarray(out, np.float32) / 65535.0
+    truth = crops["original"]
+    assert ssim(out, truth, data_range=1.0) >= 0.89
+    assert psnr(out, truth, 1.0) >= 35.5
