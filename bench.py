@@ -123,15 +123,20 @@ def _run_case(pic, kwargs, label, reps=1):
           file=sys.stderr)
 
     elapsed = float("inf")
+    compute_s = float("inf")
     for rep in range(reps):
         stats = []
+        ctimer = {}
         t0 = time.time()
         with contextlib.redirect_stdout(sys.stderr):
-            out = deblur_module(pic, label, None, **kwargs, stats_out=stats)
+            out = deblur_module(pic, label, None, **kwargs, stats_out=stats,
+                                compute_timer=ctimer)
         rep_s = time.time() - t0
-        print(f"[{label}] timed run {rep + 1}/{reps}: {rep_s:.2f}s",
+        print(f"[{label}] timed run {rep + 1}/{reps}: {rep_s:.2f}s "
+              f"(compute-only {ctimer.get('compute_s', float('nan')):.2f}s)",
               file=sys.stderr)
         elapsed = min(elapsed, rep_s)
+        compute_s = min(compute_s, ctimer.get("compute_s", float("inf")))
     # out is uint16 (can't carry NaN) — a diverged solve shows as NaN in
     # the per-level solver stats instead
     assert out.dtype == np.uint16
@@ -142,7 +147,7 @@ def _run_case(pic, kwargs, label, reps=1):
         print(f"[{label}] {s['case']} scale={s['scale']:.3f} k={s['k']}: "
               f"{r.iterations} outer, converged={r.converged}",
               file=sys.stderr)
-    return elapsed, iters
+    return elapsed, iters, compute_s
 
 
 def main():
@@ -171,12 +176,36 @@ def main():
              "ref README.md:146-148, made reproducible) and exit",
     )
     ap.add_argument(
+        "--precision-quality", action="store_true",
+        help="quality of each precision mode (float32/high/mixed) at the "
+             "real 24 MP bench geometry vs a synthetic ground truth "
+             "(committed protocol: utils.selftest.bench_precision_quality)"
+             " and exit — run on the real TPU: 'high'/'mixed' engage the "
+             "MXU conv kernels there",
+    )
+    ap.add_argument(
         "--scaling", action="store_true",
         help="fixed-work sharded-solve scaling curve over n=1,2,4,8 "
              "devices and exit (re-execs onto a virtual 8-device CPU mesh "
              "when fewer than 8 real devices are attached — the relative "
              "curve certifies the GSPMD partition; see "
              "utils.selftest.bench_scaling for interpretation)",
+    )
+    ap.add_argument(
+        "--scaling-shape", default=None, metavar="MxN",
+        help="frame shape for --scaling (default 511x767; pass 4001x6001 "
+             "for the REAL 24 MP final-level geometry — the shape the "
+             "'~14/N s' projection rides on)",
+    )
+    ap.add_argument(
+        "--scaling-iters", type=int, default=None, metavar="K",
+        help="fixed outer-iteration count per --scaling run (default 6; "
+             "lower it at the 24 MP geometry — the virtual CPU mesh runs "
+             "~100x slower per outer than one v5e chip)",
+    )
+    ap.add_argument(
+        "--scaling-reps", type=int, default=None, metavar="R",
+        help="timed repetitions per mesh size for --scaling (default 3)",
     )
     args = ap.parse_args()
 
@@ -186,11 +215,19 @@ def main():
         # any attached accelerator — querying the device count here
         # would already claim the TPU tunnel).  Set ICS_SCALING_REAL=1
         # to run on the real attached devices instead (multi-chip slice).
+        scaling_kw = {}
+        if args.scaling_shape:
+            m_s, n_s = args.scaling_shape.lower().split("x")
+            scaling_kw.update(m=int(m_s), n=int(n_s))
+        if args.scaling_iters is not None:
+            scaling_kw["iterations"] = args.scaling_iters
+        if args.scaling_reps is not None:
+            scaling_kw["reps"] = args.scaling_reps
         if os.environ.get("ICS_SCALING_REAL") == "1":
             from ics_tpu.utils.selftest import bench_scaling
 
             enable_persistent_cache()
-            bench_scaling()
+            bench_scaling(**scaling_kw)
             raise SystemExit(0)
         if os.environ.get("ICS_SCALING_CPU") == "1":
             # Child: a site-wide sitecustomize may import jax and pin the
@@ -201,7 +238,7 @@ def main():
             from ics_tpu.utils.selftest import bench_scaling
 
             enable_persistent_cache()
-            bench_scaling()
+            bench_scaling(**scaling_kw)
             raise SystemExit(0)
         import subprocess
 
@@ -212,9 +249,33 @@ def main():
             env.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
         )
-        raise SystemExit(
-            subprocess.call([sys.executable, __file__, "--scaling"], env=env)
-        )
+        child_argv = [sys.executable, __file__, "--scaling"]
+        if args.scaling_shape:
+            child_argv += ["--scaling-shape", args.scaling_shape]
+        if args.scaling_iters is not None:
+            child_argv += ["--scaling-iters", str(args.scaling_iters)]
+        if args.scaling_reps is not None:
+            child_argv += ["--scaling-reps", str(args.scaling_reps)]
+        raise SystemExit(subprocess.call(child_argv, env=env))
+
+    if args.precision_quality:
+        from ics_tpu.utils.selftest import bench_precision_quality
+
+        enable_persistent_cache()
+        results = bench_precision_quality(report=lambda *a: print(*a, file=sys.stderr))
+        print(json.dumps({
+            "metric": "precision-mode quality, 24MP synthetic pair "
+                      "(blob-9 linear-light blur of the bench frame), "
+                      "full blind pipeline, SSIM/PSNR vs truth",
+            "value": results.get("high", {}).get("ssim"),
+            "unit": "SSIM (precision=high)",
+            "vs_baseline": (
+                round(results["high"]["ssim"] / results["float32"]["ssim"], 4)
+                if "high" in results and "float32" in results else None
+            ),
+            "modes": results,
+        }))
+        raise SystemExit(0)
 
     if args.success_rate:
         from ics_tpu.utils.selftest import bench_success_rate
@@ -277,7 +338,7 @@ def main():
         verbose=False,
         precision="exact",
     )
-    el24, iters24 = _run_case(pic24, kwargs24, "bench-24mp", reps=2)
+    el24, iters24, comp24 = _run_case(pic24, kwargs24, "bench-24mp", reps=2)
 
     # Secondary: the same case in mixed precision (bf16 MXU convs + f32
     # residual + DoF guard incl. the r4 dof<=1 clamp).  ~1.4x faster
@@ -285,7 +346,7 @@ def main():
     # pair is SSIM 0.9430 vs truth (f32: 0.9564) / 0.9943 vs the f32
     # output — below the 0.999 parity-adoption bar, so it is reported,
     # not the headline.  See docs/PERFORMANCE.md "Precision modes".
-    el24m, iters24m = _run_case(
+    el24m, iters24m, comp24m = _run_case(
         pic24, {**kwargs24, "precision": "mixed"}, "bench-24mp-mixed"
     )
 
@@ -321,7 +382,7 @@ def main():
         verbose=False,
         precision="exact",
     )
-    el19, iters19 = _run_case(pic19, kwargs19, "bench-1.9mp")
+    el19, iters19, comp19 = _run_case(pic19, kwargs19, "bench-1.9mp")
 
     result = {
         "metric": "blind RL-TV-MM deconvolution, 24MP (6000x4000), full "
@@ -330,6 +391,8 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": round((mp24 / el24) / (mp24 / BASELINE_24MP_SECONDS), 2),
         "elapsed_s": round(el24, 3),
+        "compute_only_s": round(comp24, 3),
+        "compute_only_mp_per_s": round(mp24 / comp24, 4),
         "baseline_s": BASELINE_24MP_SECONDS,
         "iters_per_s_24mp": round(iters24 / el24, 3),
         "total_outer_iters_24mp": iters24,
@@ -346,6 +409,7 @@ def main():
             "value": round(mp24 / el24m, 4),
             "unit": "MP/s/chip",
             "elapsed_s": round(el24m, 3),
+            "compute_only_s": round(comp24m, 3),
             "total_outer_iters": iters24m,
         },
         "case_1_9mp": {
@@ -357,6 +421,7 @@ def main():
                 (mp19 / el19) / (mp19 / BASELINE_1_9MP_SECONDS), 2
             ),
             "elapsed_s": round(el19, 3),
+            "compute_only_s": round(comp19, 3),
             "baseline_s": BASELINE_1_9MP_SECONDS,
             "iters_per_s": round(iters19 / el19, 3),
         },

@@ -141,6 +141,7 @@ def deblur_module(
     tv_norm: str = "channel",
     inner_loop: str = "auto",
     stats_out: list | None = None,
+    compute_timer: dict | None = None,
     nonblind_levels: str = "all",
     mesh=None,
     shard_axis: str = "tile",
@@ -261,6 +262,18 @@ def deblur_module(
         # de-gamma happen on device as one fused program
         pic = _preprocess_jit(jnp.asarray(np.ascontiguousarray(pic)), samples)
         _sync(pic)
+
+    if compute_timer is not None:
+        # Compute-only end-to-end window: upload-complete -> result-ready-
+        # on-device.  A scalar fetch (not block_until_ready, which does not
+        # actually block over this host's TPU tunnel — docs/PERFORMANCE.md
+        # "Measurement discipline") drains the queue through the
+        # preprocessed frame, then the clock starts; it stops at the
+        # postprocess NaN-flag fetch below, which forces the whole device
+        # program WITHOUT the frame download.  This isolates device compute
+        # from the ~10 MB/s tunnel transfers that dominate wall clock here.
+        np.asarray(jnp.sum(pic))
+        compute_timer["_t0"] = time.perf_counter()
 
     step = {"normal": 1e-3, "high": 5e-4, "veryhigh": 1e-4, "low": 5e-3}[quality]
 
@@ -656,6 +669,13 @@ def deblur_module(
         # and is what the 16-bit TIFF save casts to anyway (ref :346-352).
         out_dev, nan_dev = _postprocess_jit(deblured_image)
         has_nan = bool(nan_dev)  # scalar, free next to the frame download
+        if compute_timer is not None and "_t0" in compute_timer:
+            # The scalar fetch above forced the whole device program
+            # (solve chain + postprocess) — stop the compute-only clock
+            # BEFORE the frame download below.
+            compute_timer["compute_s"] = (
+                time.perf_counter() - compute_timer.pop("_t0")
+            )
         deblured_image = np.asarray(out_dev)  # single download
     if has_nan:
         # the reference's equivalent diagnostic is the in-solver

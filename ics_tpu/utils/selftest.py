@@ -585,3 +585,89 @@ def bench_success_rate(
         f"= {rate * 100:.0f}%  (reference claim: >50%, ref README.md:146-148)"
     )
     return rate, rows
+
+
+def bench_precision_quality(
+    modes=("float32", "high", "mixed"), iterations=200, report=print,
+):
+    """Precision-mode quality at the REAL 24 MP bench geometry vs ground
+    truth (VERDICT r4 item 2: decide the default throughput mode on data).
+
+    Committed protocol (r5 — the r4 table's synthetic-pair numbers came
+    from an ad-hoc session script; this replaces them with a reproducible
+    one.  Absolute values differ from r4's because the blur differs;
+    judge modes RELATIVE to the same-protocol float32 row):
+
+    - sharp truth: the bench frame itself — ``img/153412.jpg`` upscaled
+      to 6000x4000 LANCZOS (``bench.py``'s 24 MP case input).
+    - degraded input: truth blurred in LINEAR light with the 9x9
+      defocus-class blob PSF (``_blob_kernel(9, 6)``, the battery's
+      "blob-9" case — the PSF class the reference's own synthetic pair
+      was made with), re-gamma'd, quantized to uint8
+      (``synth_blur_case``).
+    - each mode runs the FULL blind+non-blind pipeline with the bench
+      case's own driving parameters (blur_width 9, mask 511 @ [2000,
+      3000], tolerance 0.1, quality 'normal', 200-iteration budget).
+    - scored vs truth (SSIM / PSNR, display space) and vs the same-run
+      float32 output (SSIM) — the parity-adoption bar is 0.999 vs f32;
+      the promotion bar for a throughput default is "at or above f32's
+      quality band vs truth" (docs/PERFORMANCE.md "Precision modes").
+
+    Returns {mode: {"ssim": ..., "psnr": ..., "ssim_vs_f32": ...,
+    "elapsed_s": ..., "outers": ...}}.
+    """
+    import os
+    import time as _time
+
+    from PIL import Image
+
+    from ics_tpu.models.pipeline import deblur_module
+    from ics_tpu.utils.metrics import psnr, ssim
+
+    src = "/root/reference/img/153412.jpg"
+    if os.path.exists(src):
+        with Image.open(src) as im:
+            sharp8 = np.asarray(
+                im.resize((6000, 4000), Image.LANCZOS), np.uint8
+            )
+    else:  # deterministic stand-in off-box
+        sharp8 = np.tile(_sharp_frame(), (8, 6, 1))[:4000, :6000]
+    psf = _blob_kernel(9, 6)
+    blurred = synth_blur_case(sharp8, psf, 0.0)
+    want = np.asarray(sharp8, np.float64) / 255.0
+    in_ssim = float(ssim(blurred / 255.0, want))
+    in_psnr = float(psnr(blurred / 255.0, want))
+    report(f"[prec-quality] blurred input: SSIM {in_ssim:.4f} "
+           f"PSNR {in_psnr:.2f}")
+
+    results = {}
+    f32_out = None
+    for mode in modes:
+        stats = []
+        t0 = _time.perf_counter()
+        out = deblur_module(
+            blurred, f"prec-{mode}", None, blur_width=9,
+            mask=[2000, 3000], mask_size=511, tolerance=0.1,
+            quality="normal", iterations=iterations, display=False,
+            preview=False, verbose=False, precision=mode,
+            stats_out=stats,
+        )
+        elapsed = _time.perf_counter() - t0
+        got = np.asarray(out, np.float64) / 65535.0
+        row = {
+            "ssim": round(float(ssim(got, want)), 4),
+            "psnr": round(float(psnr(got, want)), 2),
+            "elapsed_s": round(elapsed, 2),
+            "outers": int(sum(s["result"].iterations for s in stats)),
+        }
+        if mode == "float32":
+            f32_out = got
+        if f32_out is not None:
+            row["ssim_vs_f32"] = round(float(ssim(got, f32_out)), 4)
+        results[mode] = row
+        report(f"[prec-quality] {mode:<8} SSIM {row['ssim']:.4f}  "
+               f"PSNR {row['psnr']:.2f}  vs-f32 "
+               f"{row.get('ssim_vs_f32', float('nan')):.4f}  "
+               f"{row['elapsed_s']:.1f}s  {row['outers']} outers")
+    results["input"] = {"ssim": round(in_ssim, 4), "psnr": round(in_psnr, 2)}
+    return results
