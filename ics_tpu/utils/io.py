@@ -906,6 +906,85 @@ _SAMPLE_DTYPES = {
 }
 
 
+_YCBCR_COEFFICIENTS = 529
+_YCBCR_SUBSAMPLING = 530
+_REFERENCE_BLACK_WHITE = 532
+
+
+def _read_ycbcr_page(raw, tags, values, rationals, width, height, bps,
+                     compression, predictor, planar):
+    """Raw (non-JPEG) YCbCr reads, photometric 6 (TIFF 6.0 §21; the
+    vendored reference stack reads these via its photometric table, ref
+    lib/tifffile.py PHOTOMETRIC.YCBCR handling).
+
+    Chunky strips only; samples are stored in data units of h*v Y values
+    (row-major within the unit) followed by one Cb and one Cr, with the
+    frame padded up to whole units.  Chroma is upsampled by replication
+    (positioning/cosited interpolation intentionally ignored — replication
+    is what the reference stack and libtiff's fast path do), headroom is
+    removed per ReferenceBlackWhite (libtiff's YCbCr default
+    [0,255,128,255,128,255]), and RGB comes from the YCbCrCoefficients
+    (default ITU-R 601: 0.299/0.587/0.114).  Returns uint8 RGB."""
+    if planar != 1:
+        raise NotImplementedError("planar (separate-plane) YCbCr TIFF")
+    if _TILE_OFFSETS in tags:
+        raise NotImplementedError("tiled YCbCr TIFF")
+    if predictor != 1:
+        raise NotImplementedError("predictor on YCbCr TIFF")
+    if bps != 8:
+        raise NotImplementedError(f"{bps}-bit YCbCr TIFF")
+    h_ss, v_ss = values(_YCBCR_SUBSAMPLING, [2, 2])[:2]
+    if (h_ss, v_ss) not in ((1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (4, 4)):
+        raise NotImplementedError(f"YCbCr subsampling {(h_ss, v_ss)}")
+    lr, lg, lb = rationals(_YCBCR_COEFFICIENTS, [0.299, 0.587, 0.114])
+    ref = rationals(_REFERENCE_BLACK_WHITE,
+                    [0.0, 255.0, 128.0, 255.0, 128.0, 255.0])
+
+    units_across = -(-width // h_ss)
+    pad_w = units_across * h_ss
+    rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+    offsets = values(_STRIP_OFFSETS)
+    counts = values(_STRIP_BYTE_COUNTS)
+
+    y_full = np.empty((height, width), np.float32)
+    cb_full = np.empty((height, width), np.float32)
+    cr_full = np.empty((height, width), np.float32)
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per_strip, height - row)
+        unit_rows = -(-nrows // v_ss)
+        expected = unit_rows * units_across * (h_ss * v_ss + 2)
+        decoded = _decode_segment(raw[off : off + cnt], expected, compression)
+        units = np.frombuffer(decoded, np.uint8).reshape(
+            unit_rows, units_across, h_ss * v_ss + 2
+        )
+        y = (
+            units[:, :, : h_ss * v_ss]
+            .reshape(unit_rows, units_across, v_ss, h_ss)
+            .transpose(0, 2, 1, 3)
+            .reshape(unit_rows * v_ss, pad_w)
+        )
+        cb = np.repeat(np.repeat(units[:, :, h_ss * v_ss], h_ss, axis=1),
+                       v_ss, axis=0)
+        cr = np.repeat(np.repeat(units[:, :, h_ss * v_ss + 1], h_ss, axis=1),
+                       v_ss, axis=0)
+        y_full[row : row + nrows] = y[:nrows, :width]
+        cb_full[row : row + nrows] = cb[:nrows, :width]
+        cr_full[row : row + nrows] = cr[:nrows, :width]
+        row += nrows
+
+    # headroom removal (TIFF 6.0 §20): luma expands to 0..255, chroma to
+    # a signed value centered on its reference black (coding range 127)
+    y_full = (y_full - ref[0]) * (255.0 / (ref[1] - ref[0] or 1.0))
+    cb_full = (cb_full - ref[2]) * (127.0 / (ref[3] - ref[2] or 1.0))
+    cr_full = (cr_full - ref[4]) * (127.0 / (ref[5] - ref[4] or 1.0))
+    r = cr_full * (2.0 - 2.0 * lr) + y_full
+    b = cb_full * (2.0 - 2.0 * lb) + y_full
+    g = (y_full - lr * r - lb * b) / (lg or 1.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0.0, 255.0).astype(np.uint8)
+
+
 def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     def values(tag, default=None):
         if tag not in tags:
@@ -938,7 +1017,7 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
 
     if memmap:
         if (_TILE_OFFSETS in tags or compression != 1 or predictor != 1
-                or planar != 1):
+                or planar != 1 or photometric in (3, 6)):
             raise ValueError(
                 "memmap requires an uncompressed, unpredicted, chunky "
                 "(PlanarConfiguration=1) strip layout"
@@ -962,6 +1041,22 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
         return np.memmap(
             path, dtype=dtype, mode="r", offset=offsets[0], shape=shape
         )
+
+    if photometric == 6:
+        def rationals(tag, default):
+            if tag not in tags:
+                return default
+            typ, n, payload = tags[tag]
+            if typ != 5:
+                return [float(v) for v in values(tag)]
+            flat = struct.unpack(en + "I" * (2 * n), payload)
+            return [
+                flat[2 * i] / (flat[2 * i + 1] or 1) for i in range(n)
+            ]
+
+        return _read_ycbcr_page(raw, tags, values, rationals,
+                                width, height, bps, compression,
+                                predictor, planar)
 
     def apply_palette(arr):
         """Palette-color (TIFF 6.0 §5): pixels are indices into the 16-bit

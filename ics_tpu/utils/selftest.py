@@ -649,7 +649,8 @@ def bench_precision_quality(
             blurred, f"prec-{mode}", None, blur_width=9,
             mask=[2000, 3000], mask_size=511, tolerance=0.1,
             quality="normal", iterations=iterations, display=False,
-            preview=False, verbose=False, precision=mode,
+            preview=False, verbose=False,
+            precision=("exact" if mode == "float32" else mode),
             stats_out=stats,
         )
         elapsed = _time.perf_counter() - t0

@@ -890,3 +890,143 @@ def test_planar_configuration_2_reads(tmp_path):
     q = str(tmp_path / "planar16.tif")
     _craft_planar_tiff(q, np.moveaxis(want16, -1, 0).copy(), rows_per_strip=21)
     np.testing.assert_array_equal(io.imread(q), want16)
+
+
+def _craft_ycbcr_tiff(path, y, cb, cr, h_ss, v_ss, rows_per_strip):
+    """Minimal chunky YCbCr writer (TIFF 6.0 §21): per strip, rows of data
+    units of h*v Y samples (row-major within the unit) + one Cb + one Cr,
+    frame edge-padded up to whole units.  ``cb``/``cr`` are full-res planes
+    assumed constant within each h x v block (the writer samples the
+    top-left corner)."""
+    hgt, wid = y.shape
+    units_across = -(-wid // h_ss)
+    data = bytearray()
+    offsets, counts = [], []
+    data_start = 8
+
+    def padded(plane, nrows):
+        rows = plane[: nrows]
+        if rows.shape[0] % v_ss:
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], v_ss - rows.shape[0] % v_ss, 0)]
+            )
+        if wid % h_ss:
+            rows = np.concatenate(
+                [rows, np.repeat(rows[:, -1:], h_ss - wid % h_ss, 1)], 1
+            )
+        return rows
+
+    row = 0
+    while row < hgt:
+        nrows = min(rows_per_strip, hgt - row)
+        yp = padded(y[row : row + nrows], nrows)
+        cbp = padded(cb[row : row + nrows], nrows)
+        crp = padded(cr[row : row + nrows], nrows)
+        seg = bytearray()
+        for ur in range(yp.shape[0] // v_ss):
+            for uc in range(units_across):
+                block = yp[ur * v_ss : (ur + 1) * v_ss,
+                           uc * h_ss : (uc + 1) * h_ss]
+                seg.extend(block.tobytes())
+                seg.append(int(cbp[ur * v_ss, uc * h_ss]))
+                seg.append(int(crp[ur * v_ss, uc * h_ss]))
+        offsets.append(data_start + len(data))
+        counts.append(len(seg))
+        data.extend(seg)
+        row += nrows
+
+    ifd_off = data_start + len(data)
+    tags = [
+        (256, 3, [wid]), (257, 3, [hgt]), (258, 3, [8, 8, 8]),
+        (259, 3, [1]), (262, 3, [6]), (273, 4, offsets), (277, 3, [3]),
+        (278, 3, [rows_per_strip]), (279, 4, counts), (284, 3, [1]),
+        (530, 3, [h_ss, v_ss]),
+    ]
+    body = b""
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * len(tags) + 4
+    for tag, typ, vals in sorted(tags):
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + fmt * len(vals), *vals)
+        if len(packed) <= 4:
+            body += (struct.pack("<HHI", tag, typ, len(vals))
+                     + packed.ljust(4, b"\0"))
+        else:
+            body += struct.pack("<HHII", tag, typ, len(vals),
+                                extra_base + len(extra))
+            extra.extend(packed)
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", ifd_off))
+        f.write(bytes(data))
+        f.write(struct.pack("<H", len(tags)) + body + b"\0\0\0\0")
+        f.write(bytes(extra))
+
+
+def test_ycbcr_pil_file_reads_as_rgb(tmp_path):
+    """Raw (non-JPEG) YCbCr TIFF, photometric 6 (TIFF 6.0 §21 — the
+    reference's vendored stack reads these via its photometric table):
+    PIL writes an unsubsampled YCbCr file with explicit
+    ReferenceBlackWhite [0,255,128,255,128,255]; our reader must recover
+    RGB to within PIL's own YCbCr->RGB conversion rounding."""
+    from PIL import Image
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    p = str(tmp_path / "ycc.tif")
+    ycc_img = Image.fromarray(rgb, "RGB").convert("YCbCr")
+    ycc_img.save(p, compression=None)
+
+    got = io.imread(p)
+    assert got.dtype == np.uint8 and got.shape == (37, 53, 3)
+    want = np.asarray(ycc_img.convert("RGB"), np.int32)
+    assert np.abs(got.astype(np.int32) - want).max() <= 1
+    # the chroma round trip itself costs a little more
+    assert np.abs(got.astype(np.int32) - rgb.astype(np.int32)).max() <= 3
+
+
+def test_ycbcr_subsampled_reads(tmp_path):
+    """2x2- and 2x1-subsampled YCbCr data units, odd frame dims (edge
+    units padded): with chroma constant within each block, the decode is
+    exactly invertible, so the result must match PIL's independent
+    YCbCr->RGB conversion of the same full-res planes within rounding."""
+    from PIL import Image
+
+    rng = np.random.default_rng(14)
+    hgt, wid = 35, 51
+    y = rng.integers(0, 256, (hgt, wid), dtype=np.uint8)
+    for h_ss, v_ss in ((2, 2), (2, 1)):
+        cb = np.repeat(
+            np.repeat(
+                rng.integers(0, 256,
+                             (-(-hgt // v_ss), -(-wid // h_ss)),
+                             dtype=np.uint8),
+                v_ss, axis=0),
+            h_ss, axis=1)[:hgt, :wid]
+        cr = np.repeat(
+            np.repeat(
+                rng.integers(0, 256,
+                             (-(-hgt // v_ss), -(-wid // h_ss)),
+                             dtype=np.uint8),
+                v_ss, axis=0),
+            h_ss, axis=1)[:hgt, :wid]
+        p = str(tmp_path / f"ycc{h_ss}{v_ss}.tif")
+        _craft_ycbcr_tiff(p, y, cb, cr, h_ss, v_ss, rows_per_strip=8)
+
+        got = io.imread(p)
+        assert got.shape == (hgt, wid, 3)
+        want = np.asarray(
+            Image.fromarray(np.stack([y, cb, cr], -1), "YCbCr")
+            .convert("RGB"),
+            np.int32,
+        )
+        assert np.abs(got.astype(np.int32) - want).max() <= 1
+
+
+def test_ycbcr_memmap_refused(tmp_path):
+    from PIL import Image
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    p = str(tmp_path / "ycc_mm.tif")
+    Image.fromarray(rgb, "RGB").convert("YCbCr").save(p, compression=None)
+    with pytest.raises(ValueError):
+        io.imread(p, memmap=True)
