@@ -655,6 +655,15 @@ def bench_precision_quality(
         )
         elapsed = _time.perf_counter() - t0
         got = np.asarray(out, np.float64) / 65535.0
+        del out  # drop the device copy before scoring — the 24 MP frame's
+        # HBM footprint plus the pipeline's cached executables has OOM'd a
+        # v5e when the metric also ran on-device; scoring is host-side now
+        # (metrics._HOST_METRIC_ELEMS) but the hygiene stands.
+        import gc
+        import jax as _jax
+
+        gc.collect()
+        _jax.clear_caches()
         row = {
             "ssim": round(float(ssim(got, want)), 4),
             "psnr": round(float(psnr(got, want)), 2),
