@@ -5,8 +5,9 @@ Parity targets: reference lib/utils.py:303-312 (``save`` → 16-bit RGB TIFF)
 and the vendored ``lib/tifffile.py`` read/write stack (C12 in SURVEY.md §2).
 This environment has no ``tifffile`` package, so a self-contained TIFF
 implementation lives here: read classic TIFF and BigTIFF, strip or tile
-layout, uncompressed / PackBits / LZW / Deflate (zlib), 8/16-bit, both byte
-orders, with horizontal-predictor support; write classic TIFF with optional
+layout, uncompressed / PackBits / LZW / Deflate (zlib) / new-style JPEG
+(via PIL's libjpeg), 8/16-bit, both byte orders, with horizontal-predictor
+support; write classic TIFF with optional
 LZW, PackBits or Deflate compression; ``imread_sequence`` stacks a glob of
 files (the
 ``TiffSequence`` analog, ref lib/tifffile.py:4073).  Codecs dispatch to the
@@ -680,8 +681,9 @@ def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
 
 def imread(path: str, memmap: bool = False, pages: bool = False):
     """Read a TIFF: classic or BigTIFF, strip or tile layout,
-    uncompressed / PackBits / LZW, 8/16-bit unsigned, 8/16-bit signed or
-    32/64-bit float samples, either byte order.
+    uncompressed / PackBits / LZW / Deflate / new-style JPEG (7),
+    8/16-bit unsigned, 8/16-bit signed or 32/64-bit float samples,
+    either byte order.
 
     ``pages=True`` walks the whole IFD chain (the reference's ``TiffPages``,
     ref lib/tifffile.py:2618) and returns an (N, ...) stack when the pages
@@ -909,6 +911,64 @@ _SAMPLE_DTYPES = {
 _YCBCR_COEFFICIENTS = 529
 _YCBCR_SUBSAMPLING = 530
 _REFERENCE_BLACK_WHITE = 532
+_JPEG_TABLES = 347
+
+
+def _read_jpeg_page(raw, tags, values, width, height, spp, photometric):
+    """JPEG-in-TIFF reads, compression 7 (TIFF TechNote 2 "new-style"
+    JPEG; the vendored reference stack decodes these through its codec
+    table, ref lib/tifffile.py COMPRESSION.JPEG).  Each strip/tile is an
+    (optionally abbreviated) JPEG stream; shared quantization/Huffman
+    tables live in the JPEGTables tag (347) as a tables-only stream
+    (SOI..EOI).  Decoding delegates to PIL's libjpeg: a tables stream is
+    spliced ahead of each segment (tables[:-2] EOI dropped + segment SOI
+    skipped — duplicate in-segment tables legally override).  Output is
+    what libjpeg yields: RGB for 3-component streams (the photometric-6
+    YCbCr→RGB conversion happens inside the codec, matching the
+    reference stack's JPEG path), L for 1-component."""
+    import io as _io
+
+    from PIL import Image
+
+    tables = b""
+    if _JPEG_TABLES in tags:
+        t = bytes(tags[_JPEG_TABLES][2])  # payload is dereferenced bytes
+        if len(t) > 4 and t[:2] == b"\xff\xd8":  # valid stream: SOI..EOI
+            tables = t
+
+    def decode(seg: bytes) -> np.ndarray:
+        if tables and seg[:2] == b"\xff\xd8":
+            seg = tables[:-2] + seg[2:]
+        with Image.open(_io.BytesIO(seg)) as im:
+            return np.asarray(im)
+
+    out = np.zeros(
+        (height, width, spp) if spp > 1 else (height, width), np.uint8
+    )
+    if _TILE_OFFSETS in tags:
+        tw = values(_TILE_WIDTH)[0]
+        tl = values(_TILE_LENGTH)[0]
+        offsets = values(_TILE_OFFSETS)
+        counts = values(_TILE_BYTE_COUNTS)
+        tiles_across = -(-width // tw)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(i, tiles_across)
+            px = decode(bytes(raw[off : off + cnt]))
+            y0, x0 = ty * tl, tx * tw
+            vy = min(tl, height - y0)
+            vx = min(tw, width - x0)
+            out[y0 : y0 + vy, x0 : x0 + vx] = px[:vy, :vx]
+    else:
+        rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+        offsets = values(_STRIP_OFFSETS)
+        counts = values(_STRIP_BYTE_COUNTS)
+        row = 0
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, height - row)
+            px = decode(bytes(raw[off : off + cnt]))
+            out[row : row + nrows] = px[:nrows, :width]
+            row += nrows
+    return out
 
 
 def _read_ycbcr_page(raw, tags, values, rationals, width, height, bps,
@@ -1040,6 +1100,17 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
         shape = (height, width, spp) if spp > 1 else (height, width)
         return np.memmap(
             path, dtype=dtype, mode="r", offset=offsets[0], shape=shape
+        )
+
+    if compression == 7:
+        if planar != 1:
+            raise NotImplementedError("planar JPEG-compressed TIFF")
+        return _read_jpeg_page(raw, tags, values, width, height, spp,
+                               photometric)
+    if compression == 6:
+        raise NotImplementedError(
+            "old-style JPEG (compression 6) TIFF — deprecated by TIFF "
+            "TechNote 2; re-save with new-style JPEG (7)"
         )
 
     if photometric == 6:

@@ -1030,3 +1030,41 @@ def test_ycbcr_memmap_refused(tmp_path):
     Image.fromarray(rgb, "RGB").convert("YCbCr").save(p, compression=None)
     with pytest.raises(ValueError):
         io.imread(p, memmap=True)
+
+
+def test_jpeg_in_tiff_read(tmp_path):
+    """New-style JPEG-in-TIFF (compression 7 + JPEGTables, TIFF TechNote 2
+    — ref lib/tifffile.py COMPRESSION.JPEG): read a libtiff-authored
+    JPEG-compressed RGB file and match PIL/libtiff's own decode."""
+    from PIL import Image
+
+    # smooth content keeps JPEG loss tiny and decoder-agreement tight
+    y, x = np.mgrid[0:80, 0:112]
+    arr = np.stack(
+        [(y * 2) % 256, (x * 2) % 256, ((x + y)) % 256], axis=-1
+    ).astype(np.uint8)
+    p = str(tmp_path / "pil_jpeg.tif")
+    Image.fromarray(arr).save(p, compression="jpeg", quality=95)
+    with Image.open(p) as im:
+        assert im.tag_v2.get(259) == 7  # new-style JPEG on the wire
+        want = np.asarray(im.convert("RGB"))
+    got = io.imread(p)
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    # both decodes run libjpeg, but through different framings (abbreviated
+    # streams + tables splice vs libtiff's internal path) — allow IDCT slack
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 2
+    assert np.mean(np.abs(got.astype(int) - want.astype(int))) < 0.5
+
+
+def test_jpeg_in_tiff_grayscale(tmp_path):
+    from PIL import Image
+
+    y, x = np.mgrid[0:64, 0:64]
+    arr = ((y * 3 + x) % 256).astype(np.uint8)
+    p = str(tmp_path / "pil_jpeg_gray.tif")
+    Image.fromarray(arr, mode="L").save(p, compression="jpeg", quality=95)
+    got = io.imread(p)
+    with Image.open(p) as im:
+        want = np.asarray(im.convert("L"))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 2
