@@ -912,6 +912,60 @@ _YCBCR_COEFFICIENTS = 529
 _YCBCR_SUBSAMPLING = 530
 _REFERENCE_BLACK_WHITE = 532
 _JPEG_TABLES = 347
+_FILL_ORDER = 266
+
+# byte-wise bit reversal for FillOrder=2 (TIFF 6.0 §4: lsb-first files;
+# reversing each byte reduces both orders to the msb-first unpack below)
+_BITREV = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8
+)
+
+
+def _read_subbyte_page(raw, tags, values, width, height, bps,
+                       compression, predictor, photometric):
+    """1/2/4-bit sample reads (bilevel, low-depth grayscale, 4-bit
+    palette) — the reference's C codec unpacks these in
+    ``py_unpackints`` (ref lib/tifffile.c:432); here rows unpack with
+    numpy shifts.  Each row is padded to a byte boundary (TIFF 6.0 §3);
+    strip layout only.  Returns uint8 index/gray values (palette files
+    expand through ColorMap at the call site); WhiteIsZero (photometric
+    0) returns raw values like the reference stack — inversion is the
+    caller's display decision."""
+    if predictor != 1:
+        raise NotImplementedError("sub-byte samples with predictor")
+    if _TILE_OFFSETS in tags:
+        raise NotImplementedError("sub-byte tiled TIFF")
+    fillorder = values(_FILL_ORDER, [1])[0]
+    rows_per_strip = values(_ROWS_PER_STRIP, [height])[0]
+    offsets = values(_STRIP_OFFSETS)
+    counts = values(_STRIP_BYTE_COUNTS)
+    row_bytes = -(-width * bps // 8)
+    out = np.empty((height, width), np.uint8)
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per_strip, height - row)
+        decoded = _decode_segment(
+            raw[off : off + cnt], nrows * row_bytes, compression
+        )
+        b = np.frombuffer(decoded, np.uint8)[: nrows * row_bytes]
+        b = b.reshape(nrows, row_bytes)
+        if fillorder == 2:
+            b = _BITREV[b]
+        if bps == 1:
+            vals = np.unpackbits(b, axis=1)[:, :width]
+        elif bps == 4:
+            vals = np.empty((nrows, row_bytes * 2), np.uint8)
+            vals[:, 0::2] = b >> 4
+            vals[:, 1::2] = b & 0x0F
+            vals = vals[:, :width]
+        else:  # bps == 2
+            vals = np.empty((nrows, row_bytes * 4), np.uint8)
+            for k, sh in enumerate((6, 4, 2, 0)):
+                vals[:, k::4] = (b >> sh) & 0x03
+            vals = vals[:, :width]
+        out[row : row + nrows] = vals
+        row += nrows
+    return out
 
 
 def _read_jpeg_page(raw, tags, values, width, height, spp, photometric):
@@ -1070,6 +1124,24 @@ def _read_page(raw, en: str, big: bool, tags, path: str, memmap: bool):
     sample_format = values(_SAMPLE_FORMAT, [1])[0]
     code = _SAMPLE_DTYPES.get((sample_format, bps))
     if code is None:
+        if (sample_format == 1 and bps in (1, 2, 4) and planar == 1
+                and spp == 1):
+            if memmap:
+                raise ValueError("memmap unsupported for sub-byte samples")
+            arr = _read_subbyte_page(raw, tags, values, width, height,
+                                     bps, compression, predictor,
+                                     photometric)
+            if photometric == 3:
+                cmap = values(_COLOR_MAP)
+                if cmap is None:
+                    raise ValueError(
+                        "palette TIFF (photometric 3) without ColorMap"
+                    )
+                cm = np.asarray(cmap, np.uint16).reshape(3, 1 << bps)
+                return np.stack(
+                    [cm[0][arr], cm[1][arr], cm[2][arr]], axis=-1
+                )
+            return arr
         raise NotImplementedError(
             f"TIFF sample format {sample_format} at {bps} bits not supported"
         )

@@ -1068,3 +1068,116 @@ def test_jpeg_in_tiff_grayscale(tmp_path):
         want = np.asarray(im.convert("L"))
     assert got.shape == want.shape
     assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 2
+
+
+def test_bilevel_1bit_read(tmp_path):
+    """1-bit bilevel TIFF (the reference codec's py_unpackints domain,
+    ref lib/tifffile.c:432): PIL-authored, row-padded to byte boundary
+    (width deliberately not a multiple of 8)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    arr = rng.random((23, 37)) > 0.5
+    p = str(tmp_path / "bilevel.tif")
+    Image.fromarray(arr).save(p)
+    with Image.open(p) as im:
+        photometric = im.tag_v2.get(262)
+        assert im.tag_v2.get(258, (1,))[0] in (1,)  # 1 bit per sample
+        want = np.asarray(im.convert("L")) > 127
+    got = io.imread(p)
+    assert got.dtype == np.uint8 and got.shape == arr.shape
+    bits = got.astype(bool)
+    if photometric == 0:  # WhiteIsZero: stored 0 = white; we return raw
+        bits = ~bits
+    np.testing.assert_array_equal(bits, want)
+
+
+def _subbyte_tiff(path, vals, bps, photometric, cmap=None, fillorder=1):
+    """Hand-craft a minimal little-endian classic TIFF with sub-byte
+    samples, one strip, rows byte-padded."""
+    import struct
+
+    h, w = vals.shape
+    per_byte = 8 // bps
+    row_bytes = -(-(w * bps) // 8)
+    data = bytearray()
+    for r in range(h):
+        rowbits = 0
+        acc = bytearray()
+        cur = 0
+        nb = 0
+        for c in range(w):
+            cur = (cur << bps) | int(vals[r, c])
+            nb += bps
+            if nb == 8:
+                acc.append(cur)
+                cur = 0
+                nb = 0
+        if nb:
+            acc.append(cur << (8 - nb))
+        assert len(acc) == row_bytes
+        if fillorder == 2:
+            acc = bytes(io._BITREV[np.frombuffer(bytes(acc), np.uint8)])
+        data += acc
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bps),
+        (259, 3, 1, 1), (262, 3, 1, photometric),
+        (266, 3, 1, fillorder),
+        (277, 3, 1, 1), (278, 3, 1, h),
+    ]
+    cmap_bytes = b""
+    header_end = 8
+    # layout: header(8) IFD later; data first at offset 8
+    data_off = 8
+    ifd_off = data_off + len(data)
+    if cmap is not None:
+        cmap_flat = [int(v) for v in cmap.reshape(-1)]
+        cmap_bytes = struct.pack("<%dH" % len(cmap_flat), *cmap_flat)
+        cmap_off = ifd_off
+        ifd_off += len(cmap_bytes)
+        tags.append((320, 3, len(cmap_flat), None))  # offset patched below
+    tags.append((273, 4, 1, data_off))
+    tags.append((279, 4, 1, len(data)))
+    tags.sort()
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + bytes(data) + cmap_bytes
+    entries = b""
+    for tag, typ, n, val in tags:
+        if tag == 320:
+            entries += struct.pack("<HHII", tag, typ, n, cmap_off)
+        elif typ == 3 and n == 1:
+            entries += struct.pack("<HHIHH", tag, typ, n, val, 0)
+        else:
+            entries += struct.pack("<HHII", tag, typ, n, val)
+    out += struct.pack("<H", len(tags)) + entries + struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_4bit_palette_read(tmp_path):
+    """4-bit palette-color TIFF: two indices per byte, high nibble first,
+    expanded through the 16-entry ColorMap (ref lib/tifffile.c:432
+    unpackints + the COLORMAP path)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    cmap = rng.integers(0, 65536, (3, 16), dtype=np.uint16)
+    p = str(tmp_path / "pal4.tif")
+    _subbyte_tiff(p, vals, 4, 3, cmap=cmap)
+    got = io.imread(p)
+    want = np.stack([cmap[0][vals], cmap[1][vals], cmap[2][vals]], axis=-1)
+    np.testing.assert_array_equal(got, want)
+    # PIL agrees on the indices (it scales palette entries to 8 bits)
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im), vals)
+
+
+def test_2bit_gray_and_fillorder2(tmp_path):
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 4, (7, 11), dtype=np.uint8)
+    p1 = str(tmp_path / "g2.tif")
+    _subbyte_tiff(p1, vals, 2, 1)
+    np.testing.assert_array_equal(io.imread(p1), vals)
+    p2 = str(tmp_path / "g2_lsb.tif")
+    _subbyte_tiff(p2, vals, 2, 1, fillorder=2)
+    np.testing.assert_array_equal(io.imread(p2), vals)
