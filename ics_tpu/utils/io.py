@@ -5,10 +5,11 @@ Parity targets: reference lib/utils.py:303-312 (``save`` → 16-bit RGB TIFF)
 and the vendored ``lib/tifffile.py`` read/write stack (C12 in SURVEY.md §2).
 This environment has no ``tifffile`` package, so a self-contained TIFF
 implementation lives here: read classic TIFF and BigTIFF, strip or tile
-layout, uncompressed / PackBits / LZW / Deflate (zlib) / new-style JPEG
-(via PIL's libjpeg), 8/16-bit, both byte orders, with horizontal-predictor
-support; write classic TIFF with optional
-LZW, PackBits or Deflate compression; ``imread_sequence`` stacks a glob of
+layout, uncompressed / PackBits / LZW / Deflate (zlib) / LZMA / new-style
+JPEG (via PIL's libjpeg), 8/16-bit, both byte orders, with
+horizontal-predictor support; write classic TIFF with optional
+LZW, PackBits, Deflate or LZMA compression; ``imread_sequence`` stacks a
+glob of
 files (the
 ``TiffSequence`` analog, ref lib/tifffile.py:4073).  Codecs dispatch to the
 native C++ library (``ics_tpu.runtime``, counterpart of the reference's
@@ -159,6 +160,13 @@ def _compress(data: bytes, compression: str | None) -> tuple[bytes, int]:
         import zlib
 
         return zlib.compress(data, 6), 8
+    if compression in ("lzma", 34925):
+        # LZMA2 (tag 34925).  The reference stack reads this when the
+        # stdlib lzma module exists (ref lib/tifffile.py:5249-5250) but
+        # cannot write it; kept for round-trip symmetry with our reader.
+        import lzma
+
+        return lzma.compress(data), 34925
     raise ValueError(f"unsupported compression {compression!r}")
 
 
@@ -295,8 +303,9 @@ def imsave(
     Supports (H, W) and (H, W, C) uint8/uint16/float32 arrays (float
     pages get SampleFormat 3, which our reader and libtiff both honor);
     ``compression``: None | 'lzw' | 'packbits' | 'deflate' (= 'zip',
-    Adobe Deflate tag 8; LZW/PackBits use the native C++ encoders when
-    built, pure-Python fallbacks otherwise; Deflate is stdlib zlib).
+    Adobe Deflate tag 8) | 'lzma' (tag 34925; LZW/PackBits use the
+    native C++ encoders when built, pure-Python fallbacks otherwise;
+    Deflate/LZMA are stdlib zlib/lzma).
     ``description`` writes an
     ImageDescription tag (how ImageJ / OME metadata travel in TIFFs).
     """
@@ -676,12 +685,18 @@ def _decode_segment(seg: bytes, expected: int, compression: int) -> bytes:
         import zlib
 
         return zlib.decompress(seg)[:expected]
+    if compression == 34925:
+        # LZMA2 segments (ref lib/tifffile.py:5250 — stdlib lzma, gated
+        # on availability there; unconditional here)
+        import lzma
+
+        return lzma.decompress(seg)[:expected]
     raise NotImplementedError(f"TIFF compression {compression}")
 
 
 def imread(path: str, memmap: bool = False, pages: bool = False):
     """Read a TIFF: classic or BigTIFF, strip or tile layout,
-    uncompressed / PackBits / LZW / Deflate / new-style JPEG (7),
+    uncompressed / PackBits / LZW / Deflate / LZMA / new-style JPEG (7),
     8/16-bit unsigned, 8/16-bit signed or 32/64-bit float samples,
     either byte order.
 

@@ -1181,3 +1181,43 @@ def test_2bit_gray_and_fillorder2(tmp_path):
     p2 = str(tmp_path / "g2_lsb.tif")
     _subbyte_tiff(p2, vals, 2, 1, fillorder=2)
     np.testing.assert_array_equal(io.imread(p2), vals)
+
+
+def test_lzma_roundtrip_and_pil_interop(tmp_path):
+    """LZMA (tag 34925, ref lib/tifffile.py:5249-5250 — read-only there,
+    gated on the stdlib lzma module): we round-trip both directions and
+    cross-validate against PIL/libtiff where its build supports it."""
+    from PIL import Image
+
+    rng = np.random.default_rng(14)
+    arr = np.kron(
+        (rng.random((13, 10, 3)) * 65535).astype(np.uint16),
+        np.ones((3, 3, 1), np.uint16),
+    )
+    p = str(tmp_path / "l16.tif")
+    io.imsave(p, arr, compression="lzma")
+    with open(p, "rb") as f:
+        blob = f.read()
+    assert len(blob) < arr.nbytes  # actually compressed
+    back = io.imread(p)
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, arr)
+    with Image.open(p) as im:
+        assert im.tag_v2.get(259) == 34925  # LZMA on the wire
+        try:
+            got = np.asarray(im)
+        except OSError:
+            got = None  # PIL built without libtiff LZMA support
+    if got is not None and got.dtype == arr.dtype:
+        np.testing.assert_array_equal(got, arr)
+
+    u8 = np.kron(
+        rng.integers(0, 255, (16, 16, 3), dtype=np.uint8),
+        np.ones((2, 2, 1), np.uint8),
+    )
+    q = str(tmp_path / "pil_lzma.tif")
+    try:
+        Image.fromarray(u8).save(q, compression="tiff_lzma")
+    except OSError:
+        pytest.skip("PIL/libtiff without LZMA write support")
+    np.testing.assert_array_equal(io.imread(q), u8)

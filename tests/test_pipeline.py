@@ -70,6 +70,7 @@ def test_deblur_module_end_to_end(tmp_path):
     )
     pic8 = np.clip(blurry * 255, 0, 255).astype(np.uint8)
 
+    ctimer = {}
     out = deblur_module(
         pic8,
         "test-deblur",
@@ -79,10 +80,13 @@ def test_deblur_module_end_to_end(tmp_path):
         iterations=4,
         tolerance=10.0,
         verbose=False,
+        compute_timer=ctimer,
     )
     assert out.shape == pic8.shape
     assert np.isfinite(out).all()
     assert out.min() >= 0 and out.max() <= 65535
+    # the bench's compute-only metric: upload-complete -> result-on-device
+    assert ctimer.get("compute_s", 0.0) > 0.0 and "_t0" not in ctimer
 
     from ics_tpu.utils.io import imread
 
