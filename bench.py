@@ -6,12 +6,16 @@ reference-parity math):
 1. **24 MP** (BASELINE.md's target workload): `img/153412.jpg` upscaled to
    6000x4000.  Baseline: the reference took 18 MINUTES for the non-blind
    phase alone of this image (ref README.md:157-161); we run blind +
-   non-blind.  The headline is f32 (reference-parity math); the mixed
-   mode (bf16 MXU convs + f32 residual + DoF guard) is reported as a
-   secondary case — it is ~1.4x faster and now finite at every level
-   (r3's dof_guard closed the r2 NaN), but its bf16 convs re-roll the
-   chaotic whiteness-stop trajectory, so its output is not
-   parity-certified (see docs/PERFORMANCE.md "Precision modes").
+   non-blind.  The headline is f32 (reference-parity math); two
+   secondary cases ride along: precision='high' (bf16x3-split MXU
+   convs, ~7e-6 rel err, DoF guard — quality-equal to f32 on the
+   committed protocol at ~1.26x per-outer speed, but the guarded stop
+   trajectory re-rolls the outer count) and precision='mixed' (bf16
+   MXU convs + f32 residual + DoF guard).  Neither reduced mode is
+   parity-certified — their stops re-roll — and end-to-end wall clock
+   rides the chaotic outer count, not per-outer speed; '--profile
+   fast' is the recommended throughput flag (see docs/PERFORMANCE.md
+   "Precision modes").
 2. **1.9 MP** (the reference's published benchmark): blind TV-MM
    deconvolution of img/blured.jpg with its own v29 parameters
    (ref deconvolve.py:382-386) — 189 s on the reference's 8-thread CPU
@@ -44,20 +48,23 @@ _BF16_PEAK_FLOPS = {
 }
 
 
-def _per_outer_probe(iters=10, reps=3):
+def _per_outer_probe(iters=10, reps=3, conv_precision="exact"):
     """Fixed-work per-outer seconds at the 24 MP final-level geometry.
 
     One jit call (tau=1e9 never satisfies the stop => exactly ``iters``
     outers) with a single scalar fetch — the chained-measurement
     discipline (docs/PERFORMANCE.md): per-call wall clocks over a TPU
     tunnel would otherwise measure the relay round trip.
+
+    ``conv_precision='high'`` probes the bf16x3-split MXU conv path (the
+    per-outer throughput mode) at the same geometry.
     """
     import time as _time
 
     import jax
     import jax.numpy as jnp
 
-    from ics_tpu.models.rl_mm import richardson_lucy_MM
+    from ics_tpu.models.rl_mm import RLConfig, richardson_lucy_MM
     from ics_tpu.utils.selftest import _real_image
 
     m, n, mk = 4001, 6001, 9
@@ -73,6 +80,7 @@ def _per_outer_probe(iters=10, reps=3):
         res = richardson_lucy_MM(
             img, u, psf, 200, 700, 200, 700, 1e9, iterations=iters,
             step_factor=1e-3, lambd=10000.0, blind=False, verbose=False,
+            config=RLConfig(conv_precision=conv_precision),
         )
         return float(jnp.sum(res.stats))
 
@@ -350,11 +358,25 @@ def main():
         pic24, {**kwargs24, "precision": "mixed"}, "bench-24mp-mixed"
     )
 
+    # Secondary: precision='high' (bf16x3-split MXU convs, ~7e-6 rel err,
+    # everything else exact f32, DoF guard on since r5 — the unguarded
+    # mode went non-finite on this very frame).  Quality-equal to f32 on
+    # the committed protocol (SSIM 1.0000 vs same-run f32) at ~1.26x the
+    # per-outer speed, but the guard's dof<=1 clamp re-rolls the chaotic
+    # whiteness stops, so END-TO-END time can lose to f32 on outer count
+    # (633 vs 198 on this frame) — see PERFORMANCE.md "Precision modes";
+    # '--profile fast' caps the burn and is the recommended throughput
+    # flag.
+    el24h, iters24h, comp24h = _run_case(
+        pic24, {**kwargs24, "precision": "high"}, "bench-24mp-high"
+    )
+
     # Fixed-work per-outer probe and FLOP-model MFU at the final-level
     # geometry: the per-outer number is the transfer-free measure of
     # solver compute (the end-to-end elapsed above is tunnel-dominated in
     # this environment — docs/PERFORMANCE.md "The < 2 s / 24 MP target").
     per_outer_s, model_flops = _per_outer_probe()
+    per_outer_s_high, _ = _per_outer_probe(conv_precision="high")
     kind = jax.devices()[0].device_kind.lower()
     peak = next(
         (v for k, v in _BF16_PEAK_FLOPS.items() if k in kind), None
@@ -364,6 +386,13 @@ def main():
         f"model {model_flops / per_outer_s / 1e9:.0f} GFLOP/s"
         + (f", MFU {model_flops / per_outer_s / peak * 100:.2f}% of bf16 "
            f"MXU peak" if peak else ""),
+        file=sys.stderr,
+    )
+    print(
+        f"[probe] 24MP 'high' per-outer: {per_outer_s_high * 1e3:.1f} ms "
+        f"({per_outer_s / per_outer_s_high:.2f}x f32)"
+        + (f", MFU {model_flops / per_outer_s_high / peak * 100:.2f}% of "
+           f"bf16 MXU peak" if peak else ""),
         file=sys.stderr,
     )
 
@@ -397,11 +426,24 @@ def main():
         "iters_per_s_24mp": round(iters24 / el24, 3),
         "total_outer_iters_24mp": iters24,
         "solver_per_outer_ms_24mp_f32": round(per_outer_s * 1e3, 2),
+        "solver_per_outer_ms_24mp_high": round(per_outer_s_high * 1e3, 2),
         "solver_model_gflop_per_outer": round(model_flops / 1e9, 2),
         "solver_model_gflop_per_s": round(model_flops / per_outer_s / 1e9, 1),
         "solver_mfu_pct_of_bf16_peak": (
             round(model_flops / per_outer_s / peak * 100, 3) if peak else None
         ),
+        "case_24mp_high": {
+            "metric": "same case, precision=high (bf16x3-split MXU convs, "
+                      "~7e-6 rel err, else exact f32, DoF guard) — "
+                      "quality-equal to f32 on the committed protocol and "
+                      "~1.26x per-outer, but the guarded stop trajectory "
+                      "re-rolls the outer count (PERFORMANCE.md)",
+            "value": round(mp24 / el24h, 4),
+            "unit": "MP/s/chip",
+            "elapsed_s": round(el24h, 3),
+            "compute_only_s": round(comp24h, 3),
+            "total_outer_iters": iters24h,
+        },
         "case_24mp_mixed": {
             "metric": "same case, precision=mixed (bf16 MXU convs, f32 "
                       "residual, DoF guard) — throughput mode; whiteness "

@@ -390,6 +390,13 @@ def deblur_module(
             dtype=solver_dtype, early_stop=early_stop,
             conv_precision=solver_conv_precision,
             use_tv=use_tv, tv_norm=tv_norm, inner_loop=inner_loop,
+            # 'high' keeps f32 dtype so RLConfig's auto-guard stays off,
+            # but its ~7e-6 bf16x3 conv perturbation breaks the same
+            # epsilon-free DoF assumptions bf16 does on long full-res
+            # solves (measured r5: NaN on the 24 MP bench frame) — the
+            # guard is bit-identical wherever f32 assumptions hold, so
+            # enable it for every non-parity conv path.
+            dof_guard=(True if precision == "high" else None),
         )
         if config is None and precision in ("hybrid", "hybrid-high"):
             # 'hybrid': coarse levels in mixed dtype (bf16 convs;
@@ -400,7 +407,7 @@ def deblur_module(
             solver_cfg_coarse = dataclasses.replace(
                 solver_cfg,
                 **({"dtype": "mixed"} if precision == "hybrid"
-                   else {"conv_precision": "high"}),
+                   else {"conv_precision": "high", "dof_guard": True}),
             )
     elif solver == "pam":
         from ics_tpu.models.rl_pam import richardson_lucy_PAM
